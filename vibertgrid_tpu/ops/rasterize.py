@@ -1,0 +1,176 @@
+"""Box rasterization primitives.
+
+The reference implementation paints data into pixel grids with sequential
+Python loops over segments — the BERTgrid scatter
+(``/root/reference/model/BERTgrid_generator.py:230-243``) and the semantic
+segmentation label rasterization
+(``/root/reference/model/semantic_segmentation_head.py:199-214``). Both share
+the same semantics: boxes are processed in order and **later boxes overwrite
+earlier ones** wherever they overlap.
+
+The TPU-native formulation computes, for every output cell, the index of the
+last valid box covering it (the *winner map*) as a fully vectorized masked
+maximum — box index order encodes the overwrite order, so ``max`` over
+covering box indices is exactly "last writer wins". The payload (a 768-d BERT
+embedding or an int class label) is then applied with one gather. Segments are
+processed in chunks: within a chunk the mask/max is vectorized on the VPU,
+across chunks a ``lax.scan`` keeps peak memory at ``chunk × H × W`` instead of
+``S × H × W``.
+
+Coordinates follow the reference convention: int boxes ``(x0, y0, x1, y1)`` in
+resized-image pixels; a cell ``(y, x)`` of a stride-``s`` grid is covered when
+``y0//s <= y < y1//s`` and ``x0//s <= x < x1//s`` (floor division, matching
+``int(coor / stride)`` slicing in the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "stride", "chunk"))
+def box_winner_map(
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    *,
+    height: int,
+    width: int,
+    stride: int = 1,
+    chunk: int = 32,
+) -> jax.Array:
+    """Compute the later-box-wins winner map.
+
+    Args:
+        boxes: ``[S, 4]`` int32 boxes ``(x0, y0, x1, y1)`` in image pixels.
+        box_mask: ``[S]`` bool, False for padding boxes.
+        height, width: output grid size *in grid cells* (already divided by
+            ``stride`` by the caller's shape bookkeeping — i.e. the padded
+            image is ``height*stride × width*stride``).
+        stride: downsampling ratio applied to the box coordinates.
+        chunk: number of boxes rasterized per vectorized step.
+
+    Returns:
+        ``[height, width]`` int32; ``0`` where no box covers the cell, else
+        ``1 + index`` of the last covering valid box.
+    """
+    s = boxes.shape[0]
+    s_pad = max(_round_up(s, chunk), chunk)
+    boxes = jnp.pad(boxes.astype(jnp.int32), ((0, s_pad - s), (0, 0)))
+    valid = jnp.pad(box_mask.astype(bool), (0, s_pad - s))
+    idx = jnp.arange(s_pad, dtype=jnp.int32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    def step(carry, inp):
+        cboxes, cvalid, cidx = inp
+        x0 = cboxes[:, 0] // stride
+        y0 = cboxes[:, 1] // stride
+        x1 = cboxes[:, 2] // stride
+        y1 = cboxes[:, 3] // stride
+        inside = (
+            (rows[None] >= y0[:, None, None])
+            & (rows[None] < y1[:, None, None])
+            & (cols[None] >= x0[:, None, None])
+            & (cols[None] < x1[:, None, None])
+            & cvalid[:, None, None]
+        )
+        cwin = jnp.max(
+            jnp.where(inside, cidx[:, None, None] + 1, 0), axis=0
+        ).astype(jnp.int32)
+        return jnp.maximum(carry, cwin), None
+
+    init = jnp.zeros((height, width), jnp.int32)
+    n_chunks = s_pad // chunk
+    winner, _ = jax.lax.scan(
+        step,
+        init,
+        (
+            boxes.reshape(n_chunks, chunk, 4),
+            valid.reshape(n_chunks, chunk),
+            idx.reshape(n_chunks, chunk),
+        ),
+    )
+    return winner
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "stride", "chunk"))
+def bertgrid_scatter(
+    embeddings: jax.Array,
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    *,
+    height: int,
+    width: int,
+    stride: int = 8,
+    chunk: int = 32,
+) -> jax.Array:
+    """Scatter per-segment embeddings onto a grid (the BERTgrid).
+
+    TPU-native equivalent of ``BERTgridGenerator.BERTgrid_embedding``
+    (``/root/reference/model/BERTgrid_generator.py:193-245``): each valid box
+    paints its segment embedding over its rectangle on the stride-``stride``
+    grid, later boxes overwriting earlier ones. Output is NHWC-style
+    ``[height, width, D]`` (channels-last = TPU lanes) rather than the
+    reference's NCHW.
+
+    Args:
+        embeddings: ``[S, D]`` segment embeddings.
+        boxes: ``[S, 4]`` int boxes in image pixels.
+        box_mask: ``[S]`` bool validity.
+        height, width: grid size in cells.
+
+    Returns:
+        ``[height, width, D]`` grid, zero where uncovered.
+    """
+    winner = box_winner_map(
+        boxes, box_mask, height=height, width=width, stride=stride, chunk=chunk
+    )
+    emb0 = jnp.concatenate(
+        [jnp.zeros((1, embeddings.shape[-1]), embeddings.dtype), embeddings], axis=0
+    )
+    return jnp.take(emb0, winner, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk"))
+def rasterize_label_maps(
+    seg_classes: jax.Array,
+    boxes: jax.Array,
+    box_mask: jax.Array,
+    *,
+    height: int,
+    width: int,
+    chunk: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """Rasterize per-pixel training targets for the aux segmentation head.
+
+    Equivalent of the nested label loops at
+    ``/root/reference/model/semantic_segmentation_head.py:199-214`` (full) and
+    ``:326-341`` (simplified):
+
+    - ``pos_neg``: 0 = background, 1 = key text (class > 0), 2 = non-key text.
+    - ``class_map``: the segment's class id, 0 for background.
+
+    Returns ``(pos_neg, class_map)``, both ``[height, width]`` int32.
+    """
+    winner = box_winner_map(
+        boxes, box_mask, height=height, width=width, stride=1, chunk=chunk
+    )
+    classes0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), seg_classes.astype(jnp.int32)]
+    )
+    class_map = jnp.take(classes0, winner, axis=0)
+    pos_neg = jnp.where(winner > 0, jnp.where(class_map > 0, 1, 2), 0).astype(
+        jnp.int32
+    )
+    # Background pixels inside no box keep class 0; covered pixels keep the
+    # winning segment's class (which may itself be 0 for "others" segments —
+    # matching the reference, where class_labels gets curr_class verbatim).
+    return pos_neg, class_map
