@@ -1,0 +1,243 @@
+"""Tests for OHEM losses and the scan-based CRF vs brute-force oracles."""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vibertgrid_tpu.ops.losses import (
+    bce_ohem,
+    bce_random_sample,
+    cross_entropy_ohem,
+    cross_entropy_random_sample,
+)
+from vibertgrid_tpu.ops.crf import (
+    crf_decode_batch,
+    crf_nll_batch,
+    init_transitions,
+    NEG,
+)
+
+RNG = np.random.default_rng(1)
+
+
+def ce_np(logits, targets):
+    z = logits - logits.max(-1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(-1, keepdims=True))
+    return -logp[np.arange(len(targets)), targets]
+
+
+def bce_np(logits, targets):
+    return np.maximum(logits, 0) - logits * targets + np.log1p(np.exp(-np.abs(logits)))
+
+
+class TestCrossEntropyOHEM:
+    def test_plain_mean_matches(self):
+        logits = RNG.standard_normal((20, 5)).astype(np.float32)
+        targets = RNG.integers(0, 5, 20)
+        valid = np.ones(20, bool)
+        got = cross_entropy_ohem(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid))
+        np.testing.assert_allclose(float(got), ce_np(logits, targets).mean(), rtol=1e-5)
+
+    def test_padding_excluded(self):
+        logits = RNG.standard_normal((20, 5)).astype(np.float32)
+        targets = RNG.integers(0, 5, 20)
+        valid = np.zeros(20, bool)
+        valid[:12] = True
+        got = cross_entropy_ohem(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid))
+        np.testing.assert_allclose(
+            float(got), ce_np(logits[:12], targets[:12]).mean(), rtol=1e-5
+        )
+
+    def test_topk_hardest(self):
+        logits = RNG.standard_normal((30, 4)).astype(np.float32)
+        targets = RNG.integers(0, 4, 30)
+        valid = np.ones(30, bool)
+        k = 3
+        got = cross_entropy_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            num_hard_positive=k, num_hard_negative=k,
+        )
+        losses = ce_np(logits, targets)
+        pos = np.sort(losses[targets != 0])[::-1]
+        neg = np.sort(losses[targets == 0])[::-1]
+        kp, kn = min(k, len(pos)), min(k, len(neg))
+        want = (pos[:kp].sum() + neg[:kn].sum()) / (kp + kn)
+        np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    def test_k_exceeds_available(self):
+        logits = RNG.standard_normal((6, 3)).astype(np.float32)
+        targets = np.array([0, 0, 0, 0, 1, 2])
+        valid = np.ones(6, bool)
+        got = cross_entropy_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            num_hard_positive=10, num_hard_negative=10,
+        )
+        np.testing.assert_allclose(float(got), ce_np(logits, targets).mean(), rtol=1e-5)
+
+    def test_weighted_plain(self):
+        logits = RNG.standard_normal((10, 3)).astype(np.float32)
+        targets = RNG.integers(0, 3, 10)
+        valid = np.ones(10, bool)
+        w = np.array([0.5, 1.0, 2.0], np.float32)
+        got = cross_entropy_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid), weight=w
+        )
+        losses = ce_np(logits, targets) * w[targets]
+        np.testing.assert_allclose(float(got), losses.sum() / w[targets].sum(), rtol=1e-5)
+
+    def test_random_presample_deterministic_and_bounded(self):
+        logits = RNG.standard_normal((200, 4)).astype(np.float32)
+        targets = RNG.integers(0, 4, 200)
+        valid = np.ones(200, bool)
+        key = jax.random.PRNGKey(7)
+        a = cross_entropy_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            num_hard_positive=4, num_hard_negative=4, random=True, key=key,
+        )
+        b = cross_entropy_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            num_hard_positive=4, num_hard_negative=4, random=True, key=key,
+        )
+        assert float(a) == float(b)
+        losses = ce_np(logits, targets)
+        assert float(a) <= losses.max() + 1e-5
+
+
+class TestRandomSampleCE:
+    def test_sample_ge_population_is_plain_mean(self):
+        logits = RNG.standard_normal((15, 3)).astype(np.float32)
+        targets = RNG.integers(0, 3, 15)
+        valid = np.ones(15, bool)
+        got = cross_entropy_random_sample(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            sample_list=[100, 100, 100], key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(float(got), ce_np(logits, targets).mean(), rtol=1e-5)
+
+    def test_two_category_split(self):
+        logits = RNG.standard_normal((50, 3)).astype(np.float32)
+        targets = RNG.integers(0, 3, 50)
+        valid = np.ones(50, bool)
+        got = cross_entropy_random_sample(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            sample_list=[1000, 1000], key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(float(got), ce_np(logits, targets).mean(), rtol=1e-5)
+
+
+class TestBCE:
+    def test_plain(self):
+        logits = RNG.standard_normal(30).astype(np.float32)
+        targets = (RNG.random(30) > 0.5).astype(np.float32)
+        valid = np.ones(30, bool)
+        got = bce_ohem(jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid))
+        np.testing.assert_allclose(float(got), bce_np(logits, targets).mean(), rtol=1e-5)
+
+    def test_ohem(self):
+        logits = RNG.standard_normal(40).astype(np.float32)
+        targets = (RNG.random(40) > 0.5).astype(np.float32)
+        valid = np.ones(40, bool)
+        k = 5
+        got = bce_ohem(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            num_hard_positive=k, num_hard_negative=k,
+        )
+        losses = bce_np(logits, targets)
+        pos = np.sort(losses[targets != 0])[::-1][:k]
+        neg = np.sort(losses[targets == 0])[::-1][:k]
+        want = (pos.sum() + neg.sum()) / (len(pos) + len(neg))
+        np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+    def test_random_sample_full_keep(self):
+        logits = RNG.standard_normal(25).astype(np.float32)
+        targets = (RNG.random(25) > 0.5).astype(np.float32)
+        valid = np.ones(25, bool)
+        got = bce_random_sample(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(valid),
+            sample_list=[100, 100], key=jax.random.PRNGKey(3),
+        )
+        np.testing.assert_allclose(float(got), bce_np(logits, targets).mean(), rtol=1e-5)
+
+
+def brute_force_logz(trans, feats, length, start, stop):
+    k = trans.shape[0]
+    scores = []
+    for path in itertools.product(range(k), repeat=length):
+        s = trans[path[0], start] + feats[0, path[0]]
+        for t in range(1, length):
+            s += trans[path[t], path[t - 1]] + feats[t, path[t]]
+        s += trans[stop, path[-1]]
+        scores.append(s)
+    m = max(scores)
+    return m + np.log(np.sum(np.exp(np.array(scores) - m)))
+
+
+def brute_force_best(trans, feats, length, start, stop):
+    k = trans.shape[0]
+    best, best_path = -np.inf, None
+    for path in itertools.product(range(k), repeat=length):
+        s = trans[path[0], start] + feats[0, path[0]]
+        for t in range(1, length):
+            s += trans[path[t], path[t - 1]] + feats[t, path[t]]
+        s += trans[stop, path[-1]]
+        if s > best:
+            best, best_path = s, path
+    return best, list(best_path)
+
+
+class TestCRF:
+    def setup_method(self):
+        self.k = 5  # 3 classes + START + STOP
+        self.trans = np.asarray(init_transitions(jax.random.PRNGKey(0), self.k))
+
+    def test_nll_matches_brute_force(self):
+        t = 4
+        feats = RNG.standard_normal((2, t, self.k)).astype(np.float32)
+        tags = RNG.integers(0, 3, (2, t)).astype(np.int32)
+        lengths = np.array([4, 3], np.int32)
+        got = crf_nll_batch(
+            jnp.asarray(self.trans), jnp.asarray(feats), jnp.asarray(tags),
+            jnp.asarray(lengths),
+        )
+        start, stop = self.k - 2, self.k - 1
+        wants = []
+        for i in range(2):
+            ln = lengths[i]
+            logz = brute_force_logz(self.trans, feats[i], ln, start, stop)
+            path = tags[i, :ln]
+            gold = self.trans[path[0], start] + feats[i, 0, path[0]]
+            for tt in range(1, ln):
+                gold += self.trans[path[tt], path[tt - 1]] + feats[i, tt, path[tt]]
+            gold += self.trans[stop, path[-1]]
+            wants.append((logz - gold) / ln)
+        np.testing.assert_allclose(float(got), np.mean(wants), rtol=1e-4)
+
+    def test_viterbi_matches_brute_force(self):
+        t = 5
+        feats = RNG.standard_normal((1, t, self.k)).astype(np.float32) * 3
+        lengths = np.array([t], np.int32)
+        scores, paths = crf_decode_batch(
+            jnp.asarray(self.trans), jnp.asarray(feats), jnp.asarray(lengths)
+        )
+        start, stop = self.k - 2, self.k - 1
+        want_score, want_path = brute_force_best(self.trans, feats[0], t, start, stop)
+        np.testing.assert_allclose(float(scores[0]), want_score, rtol=1e-4)
+        assert list(np.asarray(paths[0])) == want_path
+
+    def test_viterbi_masked_length(self):
+        t = 6
+        feats = RNG.standard_normal((1, t, self.k)).astype(np.float32) * 3
+        lengths = np.array([4], np.int32)
+        scores, paths = crf_decode_batch(
+            jnp.asarray(self.trans), jnp.asarray(feats), jnp.asarray(lengths)
+        )
+        start, stop = self.k - 2, self.k - 1
+        want_score, want_path = brute_force_best(self.trans, feats[0], 4, start, stop)
+        np.testing.assert_allclose(float(scores[0]), want_score, rtol=1e-4)
+        assert list(np.asarray(paths[0])[:4]) == want_path
+
+    def test_constraints(self):
+        assert np.all(self.trans[self.k - 2, :] == NEG)
+        assert np.all(self.trans[:, self.k - 1] == NEG)
