@@ -1,0 +1,192 @@
+"""End-to-end model tests on tiny shapes (CPU).
+
+Model setup is shared per classifier mode (functools.cache) and init/apply
+are jitted so the persistent compilation cache amortizes the single-core XLA
+compiles across runs.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
+from vibertgrid_tpu.models.vibertgrid import Batch
+
+B, H, W, T, S = 2, 32, 32, 510, 8
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        num_classes=5,
+        bert_version="tiny-bert-test",
+        backbone="resnet_18_fpn",
+        classifier_mode="simp",
+        num_hard_positive_main_1=2,
+        num_hard_negative_main_1=2,
+        num_hard_positive_main_2=2,
+        num_hard_negative_main_2=2,
+        loss_aux_sample_list=[16, 32, 16],
+        num_hard_positive_aux=8,
+        num_hard_negative_aux=8,
+        ohem_random=True,
+    )
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+def tiny_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    boxes = []
+    for _ in range(B):
+        x0 = rng.integers(0, W - 16, S)
+        y0 = rng.integers(0, H - 16, S)
+        boxes.append(
+            np.stack([x0, y0, x0 + rng.integers(4, 16, S), y0 + rng.integers(4, 8, S)], 1)
+        )
+    n_tok = 40
+    seg_ids = np.sort(rng.integers(0, S, (B, n_tok)), axis=1)
+    seg_ids = np.pad(seg_ids, ((0, 0), (0, T - n_tok)))
+    token_mask = np.zeros((B, T), np.int32)
+    token_mask[:, :n_tok] = 1
+    return Batch(
+        images=jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32),
+        tokens=jnp.asarray(rng.integers(3, 500, (B, T)), jnp.int32),
+        token_mask=jnp.asarray(token_mask),
+        seg_ids=jnp.asarray(seg_ids, jnp.int32),
+        boxes=jnp.asarray(np.stack(boxes), jnp.int32),
+        box_mask=jnp.asarray(np.ones((B, S), bool)),
+        seg_classes=jnp.asarray(rng.integers(0, 5, (B, S)), jnp.int32),
+    )
+
+
+def init_model(cfg, batch):
+    model = ViBERTgridNet(cfg)
+    init = jax.jit(
+        functools.partial(model.init, train=True, compute_loss=True),
+        static_argnames=(),
+    )
+    variables = init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        key=jax.random.PRNGKey(2),
+    )
+    return model, variables
+
+
+def apply_train(model, variables, batch, key=3, dkey=4):
+    fn = jax.jit(
+        functools.partial(
+            model.apply, train=True, compute_loss=True, mutable=["batch_stats"]
+        )
+    )
+    return fn(
+        variables,
+        batch,
+        key=jax.random.PRNGKey(key),
+        rngs={"dropout": jax.random.PRNGKey(dkey)},
+    )
+
+
+def apply_eval(model, variables, batch, compute_loss=True, key=5):
+    fn = jax.jit(
+        functools.partial(
+            model.apply, train=False, compute_loss=compute_loss
+        )
+    )
+    return fn(variables, batch, key=jax.random.PRNGKey(key))
+
+
+@functools.cache
+def setup(mode):
+    kw = {}
+    if mode == "crf":
+        kw["tag_to_idx"] = {"O": 0, "B-a": 1, "B-b": 2, "B-c": 3, "B-d": 4}
+    if mode == "noohem":
+        cfg = tiny_config(classifier_mode="simp", ohem_random=False)
+    else:
+        cfg = tiny_config(classifier_mode=mode, **kw)
+    batch = tiny_batch()
+    model, variables = init_model(cfg, batch)
+    return cfg, batch, model, variables
+
+
+@pytest.mark.parametrize("mode", ["simp", "full", "crf"])
+def test_forward_modes(mode):
+    cfg, batch, model, variables = setup(mode)
+
+    out, mutated = apply_train(model, variables, batch)
+    assert np.isfinite(float(out.total_loss))
+    assert out.gt_label.shape == (B, S)
+    if mode == "crf":
+        assert out.pred_label.shape == (B, S, 7)  # emission feats in train
+    else:
+        assert out.pred_label.shape == (B, S, 5)
+        assert np.all(np.isfinite(np.asarray(out.pred_label)))
+
+    # eval path
+    out_eval = apply_eval(model, variables, batch)
+    assert np.isfinite(float(out_eval.total_loss))
+    if mode == "crf":
+        assert out_eval.pred_label.shape == (B, S)  # decoded tags
+        tags = np.asarray(out_eval.pred_label)
+        assert tags.min() >= 0 and tags.max() < 7
+
+    # inference path (no losses, no aux head)
+    out_inf = apply_eval(model, variables, batch, compute_loss=False)
+    assert out_inf.total_loss is None
+    assert out_inf.pred_mask is None
+
+
+def test_gradients_flow():
+    cfg, batch, model, variables = setup("simp")
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, **others},
+            batch,
+            train=True,
+            compute_loss=True,
+            key=jax.random.PRNGKey(3),
+            rngs={"dropout": jax.random.PRNGKey(4)},
+            mutable=["batch_stats"],
+        )
+        return out.total_loss
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # Every major branch receives gradient.
+    norms = {
+        k: float(
+            sum(jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(grads[k]))
+        )
+        for k in grads
+    }
+    for branch in ["bert_model", "backbone", "late_fusion", "field_type_head"]:
+        assert norms[branch] > 0, f"no gradient into {branch}: {norms}"
+
+
+def test_masked_segments_do_not_affect_valid_preds():
+    cfg, batch, model, variables = setup("noohem")
+
+    mask2 = np.ones((B, S), bool)
+    mask2[:, S // 2 :] = False
+    batch2 = batch.replace(box_mask=jnp.asarray(mask2))
+    out_a = apply_eval(model, variables, batch2, compute_loss=False, key=0)
+    # Scramble the *masked* segments' classes and boxes — valid preds should
+    # shift only through the BERTgrid/backbone if boxes change, so scramble
+    # classes only (classes affect losses, not preds).
+    cls2 = np.asarray(batch.seg_classes).copy()
+    cls2[:, S // 2 :] = 3
+    batch3 = batch2.replace(seg_classes=jnp.asarray(cls2))
+    out_b = apply_eval(model, variables, batch3, compute_loss=False, key=0)
+    np.testing.assert_allclose(
+        np.asarray(out_a.pred_label)[:, : S // 2],
+        np.asarray(out_b.pred_label)[:, : S // 2],
+        rtol=1e-5,
+    )

@@ -1,0 +1,256 @@
+"""BERT / RoBERTa text encoder in Flax.
+
+TPU-native replacement for the HF ``BertModel`` / ``RobertaModel`` the
+reference instantiates (``/root/reference/model/ViBERTgrid_net.py:218-279``).
+The encoder compiles into the same jit graph as the CNN backbone; windowed
+long corpora arrive pre-folded into the batch axis (see
+:mod:`vibertgrid_tpu.ops.windows`), so one call encodes every window of every
+document — replacing the reference's per-window Python loop
+(``model/BERTgrid_generator.py:99-146``).
+
+Weight ingestion from HuggingFace PyTorch checkpoints (local files only — no
+network) lives in :func:`load_hf_weights`. The registry mirrors the
+reference's 7-entry ``bert_model_list`` (``model/ViBERTgrid_net.py:218-226``).
+
+Matmuls run in a configurable compute dtype (bf16 on TPU) with fp32 params
+and fp32 layernorm/softmax accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# name → (hidden size, flavor). Mirrors model/ViBERTgrid_net.py:218-226.
+BERT_MODEL_REGISTRY = {
+    "bert-base-uncased": (768, "bert"),
+    "bert-base-cased": (768, "bert"),
+    "roberta-base": (768, "roberta"),
+    "bert-base-chinese": (768, "bert"),
+    "hfl/chinese-bert-wwm-ext": (768, "bert"),
+    "hfl/chinese-bert-wwm": (768, "bert"),
+    "tiny-bert-test": (64, "bert"),  # for unit tests
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    flavor: str = "bert"  # "bert" | "roberta"
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+    @staticmethod
+    def tiny(flavor: str = "bert") -> "TextEncoderConfig":
+        return TextEncoderConfig(
+            vocab_size=512,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=520 if flavor == "roberta" else 512,
+            flavor=flavor,
+            pad_token_id=1 if flavor == "roberta" else 0,
+        )
+
+    @staticmethod
+    def base(flavor: str = "bert", vocab_size: int | None = None) -> "TextEncoderConfig":
+        if flavor == "roberta":
+            return TextEncoderConfig(
+                vocab_size=vocab_size or 50265,
+                max_position_embeddings=514,
+                pad_token_id=1,
+                flavor="roberta",
+            )
+        return TextEncoderConfig(vocab_size=vocab_size or 30522)
+
+
+class SelfAttention(nn.Module):
+    config: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, deterministic=True):
+        cfg = self.config
+        d = cfg.hidden_size
+        h = cfg.num_heads
+        dh = d // h
+        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+        b, t = hidden.shape[:2]
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(dh).astype(jnp.float32)
+        scores = scores + attn_bias  # [b, 1, 1, t] additive mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
+        ctx = ctx.reshape(b, t, d)
+        out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    config: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias, deterministic=True):
+        cfg = self.config
+        attn = SelfAttention(cfg, self.dtype, name="attention")(
+            hidden, attn_bias, deterministic
+        )
+        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_ln"
+        )(hidden + attn)
+        inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
+            hidden
+        )
+        inter = nn.gelu(inter, approximate=False)
+        out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_ln"
+        )(hidden + out)
+        return hidden
+
+
+class TextEncoder(nn.Module):
+    """BERT/RoBERTa encoder returning the last hidden state.
+
+    ``__call__(input_ids [B,T], attention_mask [B,T])`` → ``[B, T, D]``.
+    """
+
+    config: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
+        cfg = self.config
+        b, t = input_ids.shape
+        if cfg.flavor == "roberta":
+            # HF create_position_ids_from_input_ids: pad positions keep
+            # padding_idx; others count from padding_idx + 1.
+            not_pad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+            position_ids = jnp.cumsum(not_pad, axis=1) * not_pad + cfg.pad_token_id
+        else:
+            position_ids = jnp.arange(t, dtype=jnp.int32)[None, :].repeat(b, axis=0)
+        token_type_ids = jnp.zeros_like(input_ids)
+
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_embeddings")(
+            input_ids
+        )
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, name="position_embeddings"
+        )(position_ids)
+        typ = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings"
+        )(token_type_ids)
+        hidden = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="embeddings_ln"
+        )(word + pos + typ)
+        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
+        hidden = hidden.astype(self.dtype)
+
+        attn_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
+        ).astype(jnp.float32)
+
+        for i in range(cfg.num_layers):
+            hidden = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(
+                hidden, attn_bias, deterministic
+            )
+        return hidden
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace weight ingestion (local checkpoints only; no network access).
+# ---------------------------------------------------------------------------
+
+
+def load_hf_weights(params: dict, state_dict: dict, num_layers: int) -> dict:
+    """Map a HF ``BertModel``/``RobertaModel`` PyTorch state dict onto the
+    :class:`TextEncoder` param tree.
+
+    ``state_dict`` values may be torch tensors or numpy arrays. Keys may carry
+    a ``bert.``/``roberta.`` prefix. Returns a new params dict.
+    """
+    import numpy as np
+
+    def get(name):
+        for prefix in ("", "bert.", "roberta."):
+            key = prefix + name
+            if key in state_dict:
+                v = state_dict[key]
+                return np.asarray(v.numpy() if hasattr(v, "numpy") else v)
+        raise KeyError(name)
+
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+
+    def set_(path, value):
+        node = p
+        for k in path[:-1]:
+            node = node[k]
+        assert node[path[-1]].shape == value.shape, (
+            path,
+            node[path[-1]].shape,
+            value.shape,
+        )
+        node[path[-1]] = jnp.asarray(value, jnp.float32)
+
+    set_(["word_embeddings", "embedding"], get("embeddings.word_embeddings.weight"))
+    set_(
+        ["position_embeddings", "embedding"],
+        get("embeddings.position_embeddings.weight"),
+    )
+    set_(
+        ["token_type_embeddings", "embedding"],
+        get("embeddings.token_type_embeddings.weight"),
+    )
+    set_(["embeddings_ln", "scale"], get("embeddings.LayerNorm.weight"))
+    set_(["embeddings_ln", "bias"], get("embeddings.LayerNorm.bias"))
+
+    for i in range(num_layers):
+        hf = f"encoder.layer.{i}"
+        layer = f"layer_{i}"
+        for ours, theirs in [
+            ("query", "attention.self.query"),
+            ("key", "attention.self.key"),
+            ("value", "attention.self.value"),
+            ("out", "attention.output.dense"),
+        ]:
+            set_([layer, "attention", ours, "kernel"], get(f"{hf}.{theirs}.weight").T)
+            set_([layer, "attention", ours, "bias"], get(f"{hf}.{theirs}.bias"))
+        set_(
+            [layer, "attention_ln", "scale"],
+            get(f"{hf}.attention.output.LayerNorm.weight"),
+        )
+        set_(
+            [layer, "attention_ln", "bias"],
+            get(f"{hf}.attention.output.LayerNorm.bias"),
+        )
+        set_([layer, "intermediate", "kernel"], get(f"{hf}.intermediate.dense.weight").T)
+        set_([layer, "intermediate", "bias"], get(f"{hf}.intermediate.dense.bias"))
+        set_([layer, "output", "kernel"], get(f"{hf}.output.dense.weight").T)
+        set_([layer, "output", "bias"], get(f"{hf}.output.dense.bias"))
+        set_([layer, "output_ln", "scale"], get(f"{hf}.output.LayerNorm.weight"))
+        set_([layer, "output_ln", "bias"], get(f"{hf}.output.LayerNorm.bias"))
+    return p
