@@ -1,0 +1,58 @@
+"""Mesh construction and data/parameter placement.
+
+Replaces the reference's process-group bootstrap
+(``pipeline/distributed_utils.py:73-100``: torchrun env parsing, NCCL
+``init_process_group``, barriers) and its ``DistributedSampler`` batch
+sharding (``data/SROIE_dataset.py:314-319``). Multi-host TPU slices call
+``jax.distributed.initialize()`` before :func:`make_mesh`; single-host and
+CPU-virtual meshes need nothing.
+
+Cross-replica semantics come for free under jit over these shardings:
+- gradient averaging (DDP's implicit all-reduce) — the mean over the global
+  batch inside the loss;
+- SyncBatchNorm (``train_SROIE.py:202-203``) — batch statistics reduce over
+  the sharded batch axis;
+- eval counter all_reduce (``pipeline/train_val_utils.py:537-542``) — metric
+  sums over the global batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int | None = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices.
+
+    ``data=None`` uses every device not consumed by ``model``. ``model=1``
+    yields pure data parallelism (the reference's only strategy, SURVEY §2.1).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        assert len(devices) % model == 0
+        data = len(devices) // model
+    n = data * model
+    assert n <= len(devices), f"need {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a batch pytree with its leading dim sharded over ``data``."""
+
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

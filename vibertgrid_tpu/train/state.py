@@ -1,0 +1,133 @@
+"""Train state and jitted train/eval steps.
+
+The reference's per-step body (``pipeline/train_val_utils.py:215-311``) does
+host-side schedule writes, an autocast forward, ``loss.item()`` (a device
+sync every step), backward with DDP all-reduce, two optimizer steps and a
+``torch.distributed.barrier()``. Here the whole step — forward, backward,
+gradient mean over the data axis, schedules, both optimizer updates, BN stat
+update — is one jitted program; nothing syncs the host unless the caller
+fetches the loss, and the conditional grad clip (``:280-282``) happens
+in-graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.struct
+
+from vibertgrid_tpu.models.vibertgrid import Batch, ViBERTgridNet
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(
+    model: ViBERTgridNet,
+    optimizer: optax.GradientTransformation,
+    sample_batch: Batch,
+    seed: int = 42,
+) -> TrainState:
+    variables = jax.jit(
+        functools.partial(model.init, train=True, compute_loss=True)
+    )(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
+        sample_batch,
+        key=jax.random.PRNGKey(seed + 2),
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    model: ViBERTgridNet,
+    optimizer: optax.GradientTransformation,
+    loss_clip_tresh: float = 10.0,
+    clip_norm: float = 2.0,
+):
+    """Jitted train step. Conditional clipping reproduces the reference's
+    "clip when the loss spikes" rule (train_val_utils.py:280-282)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Batch, key: jax.Array):
+        k_loss, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                compute_loss=True,
+                key=k_loss,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            return out.total_loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        gnorm = optax.global_norm(grads)
+        scale = jnp.where(
+            (loss > loss_clip_tresh) & (gnorm > clip_norm),
+            clip_norm / jnp.maximum(gnorm, 1e-12),
+            1.0,
+        )
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model: ViBERTgridNet):
+    @jax.jit
+    def eval_step(state: TrainState, batch: Batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+            compute_loss=True,
+            key=jax.random.PRNGKey(0),
+        )
+        return out
+
+    return eval_step
+
+
+def make_inference_step(model: ViBERTgridNet):
+    @jax.jit
+    def inference_step(state: TrainState, batch: Batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+            compute_loss=False,
+            key=jax.random.PRNGKey(0),
+        )
+        return out.pred_label
+
+    return inference_step
