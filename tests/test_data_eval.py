@@ -1,0 +1,171 @@
+"""Tests for the data pipeline, seqeval-lite metrics, and entity joining."""
+
+import numpy as np
+import pytest
+
+from vibertgrid_tpu.data import Collator, ImageTransform, KIEDataset, data_loader
+from vibertgrid_tpu.data.synthetic import (
+    make_synthetic_root,
+    make_test_tokenizer,
+    synthetic_spec,
+)
+from vibertgrid_tpu.data.transform import bilinear_resize, bucket_hw
+from vibertgrid_tpu.eval.entities import join_entities, sroie_result_filter
+from vibertgrid_tpu.eval.seqeval_lite import bio_f1, get_entities
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    make_synthetic_root(root, n_train=4, n_test=2)
+    tokenizer = make_test_tokenizer(root)
+    return root, tokenizer
+
+
+class TestTransform:
+    def test_bilinear_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((37, 23, 3)).astype(np.float32)
+        out = bilinear_resize(img, 64, 48)
+        want = (
+            F.interpolate(
+                torch.from_numpy(img).permute(2, 0, 1)[None],
+                size=(64, 48),
+                mode="bilinear",
+                align_corners=False,
+            )[0]
+            .permute(1, 2, 0)
+            .numpy()
+        )
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+    def test_resize_respects_min_max(self):
+        tr = ImageTransform([0.5] * 3, [0.2] * 3, [320], 512, 800)
+        img = np.ones((1000, 500, 3), np.float32)
+        boxes = np.array([[10, 20, 100, 200]], np.int32)
+        out, b, (h, w) = tr(img, boxes, train=False)
+        assert min(h, w) <= 512 and max(h, w) <= 800
+        # aspect preserved within rounding
+        assert abs(h / w - 2.0) < 0.01
+        # boxes scaled by the same ratios
+        assert b[0, 2] == int(100 * w / 500)
+        assert b[0, 3] == int(200 * h / 1000)
+
+    def test_bucketing(self):
+        assert bucket_hw(513, 385) == (576, 448)
+        assert bucket_hw(512, 384) == (512, 384)
+
+
+class TestDataset:
+    def test_load_and_collate(self, synth):
+        root, tokenizer = synth
+        spec = synthetic_spec()
+        ds = KIEDataset(f"{root}/train", spec, tokenizer, train=True)
+        assert len(ds) == 4
+        s = ds[0]
+        assert s.tokens.ndim == 1 and len(s.tokens) == len(s.seg_ids)
+        assert len(s.boxes) == len(s.seg_classes) == len(s.texts)
+
+        tr = ImageTransform(spec.image_mean, spec.image_std, [320], 512, 800)
+        coll = Collator(tr)
+        batches = list(
+            data_loader(ds, coll, batch_size=2, train=True, seed=0)
+        )
+        assert len(batches) == 2
+        batch, aux = batches[0]
+        b, h, w, c = batch.images.shape
+        assert (b, c) == (2, 3) and h % 64 == 0 and w % 64 == 0
+        assert batch.tokens.shape[1] % 510 == 0
+        assert batch.boxes.shape[1] in (32, 64, 128, 256, 512)
+        assert batch.box_mask[0].sum() == aux.n_segments[0]
+        # valid boxes are within the padded image
+        valid_boxes = batch.boxes[batch.box_mask]
+        assert (valid_boxes[:, 2] <= w).all() and (valid_boxes[:, 3] <= h).all()
+
+    def test_test_split_has_keys(self, synth):
+        root, tokenizer = synth
+        ds = KIEDataset(f"{root}/test", synthetic_spec(), tokenizer, train=False)
+        s = ds[0]
+        assert s.key_dict is not None and "company" in s.key_dict
+
+
+class TestSeqevalLite:
+    def test_entities_bio(self):
+        seq = ["B-a", "I-a", "O", "B-b", "B-a", "I-b"]
+        ents = get_entities(seq)
+        assert ("a", 0, 1) in ents and ("b", 3, 3) in ents
+        assert ("a", 4, 4) in ents and ("b", 5, 5) in ents
+
+    def test_perfect_f1(self):
+        y = [["B-a", "I-a", "O", "B-b"]]
+        p, r, f = bio_f1(y, y, "micro")
+        assert (p, r, f) == (1.0, 1.0, 1.0)
+
+    def test_partial(self):
+        y_true = [["B-a", "I-a", "O", "B-b"]]
+        y_pred = [["B-a", "O", "O", "B-b"]]
+        p, r, f = bio_f1(y_true, y_pred, "micro")
+        # pred entities: a(0,0) [wrong span], b(3,3) [right] → P=1/2, R=1/2
+        assert p == 0.5 and r == 0.5 and f == 0.5
+
+    def test_macro_vs_micro(self):
+        y_true = [["B-a", "B-a", "B-b"]]
+        y_pred = [["B-a", "B-a", "O"]]
+        micro = bio_f1(y_true, y_pred, "micro")[2]
+        macro = bio_f1(y_true, y_pred, "macro")[2]
+        assert micro > macro  # b has F1 0
+
+    @pytest.mark.skipif(True, reason="seqeval not installed in sandbox")
+    def test_against_real_seqeval(self):
+        pass
+
+
+class TestJoinEntities:
+    def test_runs_merge_and_best_candidate(self):
+        texts = ["acme", "corp", "x", "12.50"]
+        probs = np.array(
+            [
+                [0.1, 0.8, 0.05, 0.03, 0.02],
+                [0.1, 0.7, 0.1, 0.05, 0.05],
+                [0.9, 0.05, 0.02, 0.02, 0.01],
+                [0.05, 0.02, 0.02, 0.01, 0.9],
+            ],
+            np.float32,
+        )
+        best = join_entities(probs, texts, 5)
+        assert best[1] == "acme corp"
+        # final-segment quirk: the last run files under the PREVIOUS class
+        # (class 0, which already holds 'x' at equal score), so class 4
+        # stays empty and class 0 keeps its first max-score candidate.
+        assert best[4] == ""
+        assert best[0] == "x"
+
+    def test_chinese_concatenation(self):
+        texts = ["数", "学"]
+        probs = np.array(
+            [[0.1, 0.9], [0.2, 0.8]], np.float32
+        )
+        best = join_entities(probs, texts, 2, language="chn")
+        assert best[1] == "数学"
+
+    def test_hyphen_join(self):
+        texts = ["multi-", "line"]
+        probs = np.array([[0.1, 0.9], [0.2, 0.8]], np.float32)
+        best = join_entities(probs, texts, 2)
+        assert best[1] == "multi-line"
+
+
+class TestSroieFilter:
+    def test_date(self):
+        assert sroie_result_filter("25/03/2019 something", 2) == "25/03/2019"
+        assert sroie_result_filter("not a date", 2) is None
+
+    def test_total(self):
+        assert sroie_result_filter("72.10", 4) == "72.10"
+        assert sroie_result_filter("RM 72.10", 4) is None
+
+    def test_passthrough(self):
+        assert sroie_result_filter("ACME CORP", 1) == "ACME CORP"

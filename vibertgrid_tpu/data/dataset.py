@@ -1,0 +1,271 @@
+"""Dataset reading + tokenization + bucketed collation.
+
+One parameterized dataset replaces the reference's three near-identical
+classes (``data/SROIE_dataset.py`` / ``EPHOIE`` / ``FUNSD``). Per-sample
+semantics mirror ``data/SROIE_dataset.py:94-163``: read image + CSV labels
+(``left,top,right,bot,text,data_class``), tokenize each segment's text into a
+flat wordpiece corpus with ``seg_indices`` mapping tokens→segments, skipping
+empty/whitespace/untokenizable segments; test items add the raw texts and a
+key dict.
+
+Collation replaces ``pad_sequence`` + dynamic shapes
+(``data/SROIE_dataset.py:165-208``) with *bucketed static padding*: images to
+/``multiple`` buckets, tokens to 510-multiples, segments to a fixed bucket
+ladder — every batch lands on a small set of jit signatures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+from vibertgrid_tpu.data.spec import DatasetSpec
+from vibertgrid_tpu.data.transform import (
+    ImageTransform,
+    bucket_count,
+    bucket_hw,
+)
+
+SEG_BUCKETS = (32, 64, 128, 256, 512)
+WINDOW = 510
+
+
+def _read_image(path: str) -> np.ndarray:
+    if path.endswith(".npy"):  # synthetic test data
+        return np.load(path).astype(np.float32)
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return np.asarray(img, np.float32) / 255.0  # ToTensor semantics
+
+
+def _read_label_csv(path: str):
+    import csv
+
+    rows = []
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            rows.append(row)
+    return rows
+
+
+@dataclasses.dataclass
+class Sample:
+    image: np.ndarray          # [H, W, 3] float32 in [0,1]
+    tokens: np.ndarray         # [n_tok] int32
+    seg_ids: np.ndarray        # [n_tok] int32
+    boxes: np.ndarray          # [n_seg, 4] int32 (original coords)
+    seg_classes: np.ndarray    # [n_seg] int32
+    texts: list[str]
+    key_dict: dict | None = None
+
+
+class KIEDataset:
+    """Reads one split (``root`` contains image/label/key dirs per spec)."""
+
+    def __init__(
+        self,
+        root: str,
+        spec: DatasetSpec,
+        tokenizer: Any,
+        train: bool = True,
+        split_list: str | None = None,
+    ) -> None:
+        assert os.path.exists(root), f"dataset root {root} does not exist"
+        self.root = root
+        self.spec = spec
+        self.tokenizer = tokenizer
+        self.train = train
+        if spec.filelist_from_txt:
+            listfile = split_list or ("train.txt" if train else "test.txt")
+            with open(os.path.join(root, listfile)) as f:
+                self.filenames = [ln.strip() for ln in f if ln.strip()]
+        else:
+            label_dir = os.path.join(root, self.spec.label_dir)
+            src = label_dir if os.path.isdir(label_dir) else os.path.join(
+                root, self.spec.image_dir
+            )
+            self.filenames = sorted(
+                os.path.splitext(f)[0] for f in os.listdir(src)
+            )
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> Sample:
+        name = self.filenames[index]
+        spec = self.spec
+        image = _read_image(
+            os.path.join(self.root, spec.image_dir, name + spec.image_ext)
+        )
+        rows = _read_label_csv(
+            os.path.join(self.root, spec.label_dir, name + ".csv")
+        )
+
+        tokens: list[int] = []
+        seg_ids: list[int] = []
+        boxes: list[list[int]] = []
+        classes: list[int] = []
+        texts: list[str] = []
+        seg_out = 0
+        for row in rows:
+            text = str(row["text"])
+            if text == "" or text.isspace():
+                continue
+            t = text.lower() if spec.lowercase else text
+            wordpieces = self.tokenizer.tokenize(t)
+            if not wordpieces:
+                continue
+            ids = self.tokenizer.convert_tokens_to_ids(wordpieces)
+            tokens.extend(ids)
+            seg_ids.extend([seg_out] * len(ids))
+            boxes.append(
+                [int(float(row[k])) for k in ("left", "top", "right", "bot")]
+            )
+            classes.append(int(float(row["data_class"])))
+            texts.append(text)
+            seg_out += 1
+
+        key_dict = None
+        if not self.train and spec.key_loader is not None:
+            key_dict = spec.key_loader(self.root, name)
+        elif not self.train:
+            key_dict = {"filename": name}
+
+        return Sample(
+            image=image,
+            tokens=np.asarray(tokens, np.int32),
+            seg_ids=np.asarray(seg_ids, np.int32),
+            boxes=np.asarray(boxes, np.int32).reshape(-1, 4),
+            seg_classes=np.asarray(classes, np.int32),
+            texts=texts,
+            key_dict=key_dict,
+        )
+
+
+@dataclasses.dataclass
+class EvalAux:
+    """Host-side eval metadata riding alongside a device Batch."""
+
+    texts: list[list[str]]
+    key_dicts: list[dict | None]
+    n_segments: list[int]
+
+
+class Collator:
+    """Samples → static-shape numpy Batch (+ EvalAux)."""
+
+    def __init__(
+        self,
+        transform: ImageTransform,
+        seg_buckets: Sequence[int] = SEG_BUCKETS,
+        hw_multiple: int = 64,
+        max_windows: int = 3,
+    ) -> None:
+        self.transform = transform
+        self.seg_buckets = tuple(seg_buckets)
+        self.hw_multiple = hw_multiple
+        self.max_windows = max_windows
+
+    def __call__(
+        self,
+        samples: list[Sample],
+        train: bool,
+        rng: np.random.Generator | None = None,
+    ):
+        from vibertgrid_tpu.models.vibertgrid import Batch
+
+        b = len(samples)
+        images, boxes_list, hws = [], [], []
+        # One random min-size per batch (one bucket per batch; the reference
+        # draws per image, pipeline/transform.py:192-196 — same distribution).
+        if train and rng is None:
+            rng = np.random.default_rng(0)
+        for s in samples:
+            img, bx, hw = self.transform(s.image, s.boxes, train, rng)
+            images.append(img)
+            boxes_list.append(bx)
+            hws.append(hw)
+
+        max_h = max(h for h, _ in hws)
+        max_w = max(w for _, w in hws)
+        bh, bw = bucket_hw(max_h, max_w, self.hw_multiple)
+        image_arr = np.zeros((b, bh, bw, 3), np.float32)
+        for i, img in enumerate(images):
+            image_arr[i, : img.shape[0], : img.shape[1]] = img
+
+        n_seg = max(max((len(s.seg_classes) for s in samples), default=1), 1)
+        s_cap = bucket_count(n_seg, self.seg_buckets)
+        if n_seg > s_cap:
+            raise ValueError(
+                f"segment count {n_seg} exceeds largest bucket {s_cap}"
+            )
+        n_tok = max(max((len(s.tokens) for s in samples), default=1), 1)
+        n_win = min(-(-n_tok // WINDOW), self.max_windows)
+        t_cap = n_win * WINDOW
+
+        boxes = np.zeros((b, s_cap, 4), np.int32)
+        box_mask = np.zeros((b, s_cap), bool)
+        seg_classes = np.zeros((b, s_cap), np.int32)
+        tokens = np.zeros((b, t_cap), np.int32)
+        token_mask = np.zeros((b, t_cap), np.int32)
+        seg_ids = np.zeros((b, t_cap), np.int32)
+        for i, s in enumerate(samples):
+            ns = len(s.seg_classes)
+            nt = min(len(s.tokens), t_cap)
+            boxes[i, :ns] = boxes_list[i]
+            box_mask[i, :ns] = True
+            seg_classes[i, :ns] = s.seg_classes
+            tokens[i, :nt] = s.tokens[:nt]
+            token_mask[i, :nt] = 1
+            seg_ids[i, :nt] = s.seg_ids[:nt]
+
+        batch = Batch(
+            images=image_arr,
+            tokens=tokens,
+            token_mask=token_mask,
+            seg_ids=seg_ids,
+            boxes=boxes,
+            box_mask=box_mask,
+            seg_classes=seg_classes,
+        )
+        aux = EvalAux(
+            texts=[s.texts for s in samples],
+            key_dicts=[s.key_dict for s in samples],
+            n_segments=[len(s.seg_classes) for s in samples],
+        )
+        return batch, aux
+
+
+def data_loader(
+    dataset: KIEDataset,
+    collator: Collator,
+    batch_size: int,
+    train: bool,
+    seed: int = 0,
+    shard: tuple[int, int] = (0, 1),
+    drop_last: bool | None = None,
+) -> Iterator:
+    """Simple epoch iterator with shuffling and process sharding — the
+    DistributedSampler + BatchSampler(drop_last) equivalent
+    (``data/SROIE_dataset.py:314-333``)."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if train:
+        rng.shuffle(order)
+    rank, world = shard
+    order = order[rank::world]
+    if drop_last is None:
+        drop_last = train
+    end = (len(order) // batch_size) * batch_size if drop_last else len(order)
+    for i in range(0, end, batch_size):
+        idx = order[i : i + batch_size]
+        if not len(idx):
+            continue
+        samples = [dataset[j] for j in idx]
+        yield collator(samples, train, rng)

@@ -1,0 +1,187 @@
+"""Validation / evaluation harness.
+
+Port of ``validate`` (``/root/reference/pipeline/train_val_utils.py:349-665``)
+and the eval CLI bodies (``eval_SROIE.py:75-257``, ``eval_EPHOIE.py``,
+``eval_FUNSD.py:24-67``), parameterized by :class:`DatasetSpec` instead of
+copy-pasted per dataset.
+
+Eval modes (example_config.yaml:55-58):
+- ``seqeval``: token-level BIO F1 via :mod:`seqeval_lite`.
+- ``strcmp``: join runs into entity strings, exact-compare vs key dicts (the
+  official SROIE protocol).
+- ``seq_and_str``: both.
+
+Device outputs arrive padded ``[B, S, C]``; host code slices each sample's
+valid segments. Cross-process metric reduction (the reference's all_reduce +
+all_gather_object, train_val_utils.py:537-552) is a host-side sum here — the
+loader shards by process, single-host in this environment.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+import numpy as np
+
+from vibertgrid_tpu.data.spec import DatasetSpec
+from vibertgrid_tpu.eval.entities import (
+    ephoie_result_filter,
+    join_entities,
+    sroie_result_filter,
+)
+from vibertgrid_tpu.eval.seqeval_lite import bio_f1, classification_report
+
+RESULT_FILTERS: dict[str, Callable] = {
+    "sroie": sroie_result_filter,
+    "synthetic": None,
+    "ephoie": ephoie_result_filter,
+    "funsd": None,
+}
+
+
+def _tags_from_ids(ids, idx_to_tag):
+    return [idx_to_tag[int(i)] for i in ids]
+
+
+def strcmp_compare(
+    pred_keys: list[str], key_dict: dict, class_list, result_filter=None
+):
+    """Exact-string scoring of one document (train_val_utils.py:495-518)."""
+    recall_acc = precision_acc = 0.0
+    n_det = n_gt = 0.0
+    for ci in range(1, len(class_list)):
+        pred = pred_keys[ci]
+        if result_filter is not None:
+            pred = result_filter(pred, ci)
+            if pred is None:
+                pred = ""
+        gt = key_dict.get(class_list[ci], "")
+        if len(pred):
+            n_det += 1
+        if len(gt):
+            n_gt += 1
+            if pred == gt:
+                recall_acc += 1
+                precision_acc += 1
+    return recall_acc, precision_acc, n_gt, n_det
+
+
+def validate(
+    eval_step: Callable,
+    state: Any,
+    loader: Iterable,
+    spec: DatasetSpec,
+    *,
+    eval_mode: str | None = None,
+    tag_to_idx: dict | None = None,
+    strcmp_thresh: float = 0.0,
+    seqeval_average: str | None = None,
+    result_filter: Callable | str | None = "default",
+    verbose: bool = True,
+) -> dict:
+    """Run the model over a test loader and compute entity metrics.
+
+    ``eval_step(state, batch) -> ModelOutput`` (jitted). Returns a dict with
+    precision/recall/F1 (and token-level metrics for seq modes).
+    """
+    eval_mode = eval_mode or spec.default_eval_mode
+    seqeval_average = seqeval_average or spec.seqeval_average
+    if result_filter == "default":
+        result_filter = RESULT_FILTERS.get(spec.name)
+    class_list = list(spec.class_list)
+    num_classes = len(class_list)
+
+    recall_sum = precision_sum = num_gt = num_det = 0.0
+    losses = []
+    pred_tag_seqs, gt_tag_seqs = [], []
+    per_sample = {}
+
+    for batch, aux in loader:
+        out = eval_step(state, batch)
+        if out.total_loss is not None:
+            losses.append(float(out.total_loss))
+        pred = np.asarray(out.pred_label, np.float32)
+        gt = np.asarray(out.gt_label)
+        for i, n_seg in enumerate(aux.n_segments):
+            if n_seg == 0:
+                continue
+            probs_or_tags = pred[i, :n_seg]
+            gt_ids = gt[i, :n_seg]
+
+            if eval_mode in ("seqeval", "seq_and_str"):
+                assert tag_to_idx is not None
+                idx_to_tag = {v: k for k, v in tag_to_idx.items()}
+                if probs_or_tags.ndim == 2:
+                    pred_ids = probs_or_tags.argmax(-1)
+                else:
+                    pred_ids = probs_or_tags.astype(np.int64)
+                pred_ids = np.clip(pred_ids, 0, len(idx_to_tag) - 1)
+                pred_tag_seqs.append(_tags_from_ids(pred_ids, idx_to_tag))
+                gt_tag_seqs.append(_tags_from_ids(gt_ids, idx_to_tag))
+
+            if eval_mode in ("strcmp", "seq_and_str") and probs_or_tags.ndim == 2:
+                # softmax over logits? heads already emit probabilities;
+                # re-normalizing is a no-op for argmax/score ratios but the
+                # reference re-softmaxes (train_val_utils.py:446), reproduced:
+                z = probs_or_tags - probs_or_tags.max(-1, keepdims=True)
+                probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+                pred_keys = join_entities(
+                    probs,
+                    aux.texts[i],
+                    num_classes,
+                    language=spec.language,
+                    score_thresh=strcmp_thresh,
+                )
+                key_dict = aux.key_dicts[i] or {}
+                r, p, g, d = strcmp_compare(
+                    pred_keys, key_dict, class_list, result_filter
+                )
+                recall_sum += r
+                precision_sum += p
+                num_gt += g
+                num_det += d
+                per_sample[key_dict.get("filename", len(per_sample))] = {
+                    "pred": pred_keys,
+                    "correct": r,
+                }
+
+    results: dict = {"loss": float(np.mean(losses)) if losses else None}
+    if eval_mode in ("seqeval", "seq_and_str") and pred_tag_seqs:
+        p, r, f = bio_f1(gt_tag_seqs, pred_tag_seqs, seqeval_average)
+        results.update(token_precision=p, token_recall=r, token_F1=f)
+        if verbose:
+            print(classification_report(gt_tag_seqs, pred_tag_seqs))
+    if eval_mode in ("strcmp", "seq_and_str"):
+        recall = 0.0 if num_gt == 0 else recall_sum / num_gt
+        precision = 0.0 if num_det == 0 else precision_sum / num_det
+        f1 = (
+            0.0
+            if recall + precision == 0
+            else 2 * recall * precision / (recall + precision)
+        )
+        results.update(precision=precision, recall=recall, F1=f1)
+        results["per_sample"] = per_sample
+    # The scalar used for checkpoint ranking (train_SROIE.py:374-377).
+    results["primary_F1"] = results.get("F1", results.get("token_F1", 0.0))
+    if verbose:
+        shown = {
+            k: round(v, 4)
+            for k, v in results.items()
+            if isinstance(v, float)
+        }
+        print(f"validate[{spec.name}] {shown}")
+    return results
+
+
+def evaluate_dataset(
+    eval_step, state, loader, spec, tag_mode: str = "B", **kw
+) -> dict:
+    """eval_*.py equivalent: batch-size-1 loop + per-dataset filters."""
+    return validate(
+        eval_step,
+        state,
+        loader,
+        spec,
+        tag_to_idx=spec.tag_to_idx(tag_mode),
+        **kw,
+    )

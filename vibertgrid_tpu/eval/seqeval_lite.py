@@ -1,0 +1,136 @@
+"""Entity-level sequence-labeling metrics, compatible with seqeval defaults.
+
+The reference depends on the ``seqeval`` package
+(``/root/reference/pipeline/criteria.py:24-52``); it is not available here,
+so this is a from-scratch implementation of the same metric: conlleval-style
+chunk extraction (lenient BIO/IOBES start/end rules, seqeval's default
+scheme) and micro/macro/weighted precision/recall/F1 over exact entity
+matches, plus a classification report string.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterable, Sequence
+
+
+def _split_tag(chunk: str) -> tuple[str, str]:
+    if chunk in ("O", ""):
+        return "O", ""
+    if "-" in chunk:
+        tag, typ = chunk.split("-", 1)
+    else:
+        tag, typ = chunk, ""
+    return tag, typ
+
+
+def _start_of_chunk(prev_tag, tag, prev_type, type_):
+    if tag in ("B", "S"):
+        return True
+    if prev_tag in ("E", "S") and tag in ("E", "I"):
+        return True
+    if prev_tag == "O" and tag in ("E", "I"):
+        return True
+    if tag != "O" and tag != "." and prev_type != type_:
+        return True
+    return False
+
+
+def _end_of_chunk(prev_tag, tag, prev_type, type_):
+    if prev_tag in ("E", "S"):
+        return True
+    if prev_tag == "B" and tag in ("B", "S", "O"):
+        return True
+    if prev_tag == "I" and tag in ("B", "S", "O"):
+        return True
+    if prev_tag != "O" and prev_tag != "." and prev_type != type_:
+        return True
+    return False
+
+
+def get_entities(seq: Sequence[str]) -> list[tuple[str, int, int]]:
+    """Extract (type, start, end_inclusive) chunks from a tag sequence."""
+    entities = []
+    prev_tag, prev_type = "O", ""
+    begin = -1
+    for i, chunk in enumerate(list(seq) + ["O"]):
+        tag, typ = _split_tag(chunk)
+        if _end_of_chunk(prev_tag, tag, prev_type, typ) and begin >= 0:
+            entities.append((prev_type, begin, i - 1))
+            begin = -1
+        if _start_of_chunk(prev_tag, tag, prev_type, typ):
+            begin = i
+        prev_tag, prev_type = tag, typ
+    return entities
+
+
+def _collect(y_true, y_pred):
+    true_set = defaultdict(set)
+    pred_set = defaultdict(set)
+    for si, (ts, ps) in enumerate(zip(y_true, y_pred)):
+        for typ, b, e in get_entities(ts):
+            true_set[typ].add((si, b, e))
+        for typ, b, e in get_entities(ps):
+            pred_set[typ].add((si, b, e))
+    return true_set, pred_set
+
+
+def _prf(tp, n_pred, n_true):
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_true if n_true else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def bio_f1(
+    y_true: Iterable[Sequence[str]],
+    y_pred: Iterable[Sequence[str]],
+    average: str = "micro",
+) -> tuple[float, float, float]:
+    """Entity-level (precision, recall, f1). average: micro|macro|weighted."""
+    y_true, y_pred = list(y_true), list(y_pred)
+    true_set, pred_set = _collect(y_true, y_pred)
+    types = sorted(set(true_set) | set(pred_set))
+    if average == "micro":
+        tp = sum(len(true_set[t] & pred_set[t]) for t in types)
+        return _prf(
+            tp,
+            sum(len(pred_set[t]) for t in types),
+            sum(len(true_set[t]) for t in types),
+        )
+    stats = [
+        _prf(len(true_set[t] & pred_set[t]), len(pred_set[t]), len(true_set[t]))
+        for t in types
+    ]
+    if not stats:
+        return 0.0, 0.0, 0.0
+    if average == "macro":
+        n = len(stats)
+        return tuple(sum(s[i] for s in stats) / n for i in range(3))
+    if average == "weighted":
+        weights = [len(true_set[t]) for t in types]
+        total = sum(weights) or 1
+        return tuple(
+            sum(s[i] * w for s, w in zip(stats, weights)) / total for i in range(3)
+        )
+    raise ValueError(f"unknown average {average!r}")
+
+
+def classification_report(y_true, y_pred) -> str:
+    """Per-type report string (seqeval-style)."""
+    y_true, y_pred = list(y_true), list(y_pred)
+    true_set, pred_set = _collect(y_true, y_pred)
+    types = sorted(set(true_set) | set(pred_set))
+    width = max([len(t) for t in types] + [12])
+    lines = [f"{'':>{width}}  precision  recall  f1-score  support"]
+    for t in types:
+        p, r, f = _prf(len(true_set[t] & pred_set[t]), len(pred_set[t]), len(true_set[t]))
+        lines.append(
+            f"{t:>{width}}  {p:9.4f}  {r:6.4f}  {f:8.4f}  {len(true_set[t]):7d}"
+        )
+    p, r, f = bio_f1(y_true, y_pred, "micro")
+    support = sum(len(true_set[t]) for t in types)
+    lines.append(f"{'micro avg':>{width}}  {p:9.4f}  {r:6.4f}  {f:8.4f}  {support:7d}")
+    p, r, f = bio_f1(y_true, y_pred, "macro")
+    lines.append(f"{'macro avg':>{width}}  {p:9.4f}  {r:6.4f}  {f:8.4f}  {support:7d}")
+    return "\n".join(lines)
