@@ -1,0 +1,81 @@
+"""End-to-end training-driver smoke test on the synthetic dataset (CPU)."""
+
+import numpy as np
+import pytest
+
+from vibertgrid_tpu.data.synthetic import (
+    make_synthetic_root,
+    make_test_tokenizer,
+    synthetic_spec,
+)
+from vibertgrid_tpu.train.driver import train
+
+
+def tiny_hyp(root, weights=""):
+    return {
+        "comment": "synthetic-smoke",
+        "tee_logs": False,
+        "data_root": root,
+        "tokenizer_path": f"{root}/vocab.txt",
+        "batch_size": 2,
+        "start_epoch": 0,
+        "end_epoch": 2,
+        "num_classes": 5,
+        "bert_version": "tiny-bert-test",
+        "backbone": "resnet_18_fpn",
+        "classifier_mode": "simp",
+        "eval_mode": "seq_and_str",
+        "tag_mode": "B",
+        "layer_mode": "single",
+        "image_min_size": [256],
+        "test_image_min_size": 256,
+        "image_max_size": 400,
+        "image_mean": [0.9, 0.9, 0.9],
+        "image_std": [0.15, 0.15, 0.15],
+        "num_hard_positive_main_1": 8,
+        "num_hard_negative_main_1": 8,
+        "num_hard_positive_main_2": 8,
+        "num_hard_negative_main_2": 8,
+        "loss_aux_sample_list": [64, 128, 64],
+        "num_hard_positive_aux": 32,
+        "num_hard_negative_aux": 32,
+        "ohem_random": False,
+        "loss_control_lambda": 1.0,
+        "add_pos_neg": True,
+        "weights": weights,
+        "optimizer_cnn_hyp": dict(
+            learning_rate=1e-3, min_learning_rate=1e-5, warm_up_epoches=0,
+            warm_up_init_lr=1e-5, momentum=0.9, weight_decay=5e-4,
+            min_weight_decay=5e-4,
+        ),
+        "optimizer_bert_hyp": dict(
+            learning_rate=1e-4, min_learning_rate=1e-7, warm_up_epoches=0,
+            warm_up_init_lr=1e-7, beta1=0.9, beta2=0.999, epsilon=1e-8,
+            weight_decay=0.01, min_weight_decay=0.01,
+        ),
+    }
+
+
+def test_train_driver_smoke(tmp_path):
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=0)
+    # tokenizer built from the synthetic vocab written by make_synthetic_root
+    hyp = tiny_hyp(root)
+    hyp["save_top"] = str(tmp_path / "weights")
+    hyp["save_log"] = str(tmp_path / "log")
+
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=4)
+    assert "primary_F1" in results and np.isfinite(results["primary_F1"])
+    assert results["loss"] is None or np.isfinite(results["loss"])
+
+    # resume from the saved checkpoint
+    import os
+
+    ckpts = [e for e in os.listdir(hyp["save_top"]) if e.startswith("epoch")]
+    assert ckpts, "no checkpoint saved"
+    hyp2 = tiny_hyp(root, weights=os.path.join(hyp["save_top"], ckpts[0]))
+    hyp2["save_top"] = str(tmp_path / "weights2")
+    hyp2["save_log"] = str(tmp_path / "log2")
+    hyp2["end_epoch"] = 3
+    results2 = train(hyp2, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results2["primary_F1"])

@@ -43,10 +43,19 @@ def make_mesh(
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a batch pytree with its leading dim sharded over ``data``."""
+    """Place a batch pytree with its leading dim sharded over ``data``.
+
+    Batches whose leading dim is not divisible by the data axis (e.g. the
+    batch-size-1 eval loop, eval_SROIE.py:103-105) are replicated instead —
+    the jitted step works under either placement.
+    """
+    n_data = mesh.shape["data"]
 
     def put(x):
-        spec = P("data", *([None] * (x.ndim - 1)))
+        if x.shape[0] % n_data == 0:
+            spec = P("data", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)

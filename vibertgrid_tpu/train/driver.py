@@ -1,0 +1,224 @@
+"""The single training driver.
+
+Replaces the reference's three copy-paste train CLIs (``train_SROIE.py``,
+``train_EPHOIE.py``, ``train_FUNSD.py`` — identical modulo the dataset spec,
+SURVEY.md §1) with one parameterized driver:
+
+    python -m vibertgrid_tpu.train.driver --config cfg.yaml --dataset sroie
+
+The YAML schema is reference-compatible (``example_config.yaml``): optimizer
+blocks, OHEM counts, classifier/eval/tag modes, backbone + bert versions,
+dataset stats/sizes, save dirs, resume weights. Additional keys:
+``tokenizer_path`` (local tokenizer, no network), ``mesh_data``/``mesh_model``
+(device mesh shape).
+
+Flow mirrors ``train_SROIE.py:51-423``: seed → tokenizer → loaders → model →
+dual optimizer + schedules → optional resume → initial validate → epoch loop
+(train_one_epoch, validate, top-F1 checkpointing) — with the whole step
+jitted and the batch sharded over the mesh instead of DDP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Any
+
+import numpy as np
+import yaml
+
+import jax
+
+from vibertgrid_tpu.data import (
+    Collator,
+    ImageTransform,
+    KIEDataset,
+    data_loader,
+    get_spec,
+)
+from vibertgrid_tpu.eval.harness import validate
+from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
+from vibertgrid_tpu.parallel import make_mesh, replicate, shard_batch
+from vibertgrid_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from vibertgrid_tpu.train.checkpoint import CheckpointManager
+from vibertgrid_tpu.utils.logging import MetricsLogger, TerminalLogger, setup_seed
+
+
+def build_tokenizer(hyp: dict):
+    """Local tokenizer only (no hub). ``tokenizer_path`` points at a dir with
+    vocab/tokenizer files; falls back to bert_version as a local path."""
+    from transformers import BertTokenizer, RobertaTokenizer
+
+    path = hyp.get("tokenizer_path") or hyp["bert_version"]
+    if "roberta" in hyp["bert_version"]:
+        return RobertaTokenizer.from_pretrained(path)
+    if os.path.isfile(path):  # bare vocab.txt
+        return BertTokenizer(path)
+    return BertTokenizer.from_pretrained(path)
+
+
+def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
+    """Construct (spec, model, optimizer fn pieces, transform, collator)."""
+    spec = spec or get_spec(dataset)
+    tag_mode = hyp.get("tag_mode", "B")
+    tag_to_idx = spec.tag_to_idx(tag_mode)
+    model_cfg_dict = dict(hyp)
+    model_cfg_dict["num_classes"] = hyp.get("num_classes", spec.num_classes)
+    if hyp.get("classifier_mode") == "crf" or tag_mode == "BIO":
+        model_cfg_dict["tag_to_idx"] = tag_to_idx
+    cfg = ModelConfig.from_yaml_dict(model_cfg_dict)
+    if tokenizer is not None:
+        cfg = __import__("dataclasses").replace(
+            cfg,
+            cls_token_id=tokenizer.cls_token_id or 101,
+            sep_token_id=tokenizer.sep_token_id or 102,
+        )
+    model = ViBERTgridNet(cfg)
+    transform = ImageTransform(
+        hyp.get("image_mean", spec.image_mean),
+        hyp.get("image_std", spec.image_std),
+        hyp.get("image_min_size", [320, 416, 512, 608, 704]),
+        hyp.get("test_image_min_size", 512),
+        hyp.get("image_max_size", 800),
+    )
+    collator = Collator(transform)
+    return spec, cfg, model, transform, collator, tag_to_idx
+
+
+def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> dict:
+    """Full training run; returns final metrics. ``max_steps`` truncates for
+    smoke tests."""
+    setup_seed(42)
+    comment = hyp.get("comment", dataset)
+    save_log = hyp.get("save_log", "./log/")
+    if hyp.get("tee_logs", True):
+        os.makedirs(save_log, exist_ok=True)
+        sys.stdout = TerminalLogger(
+            os.path.join(save_log, f"train_{comment.strip()}_{int(time.time())}.log")
+        )
+
+    tokenizer = build_tokenizer(hyp)
+    spec, cfg, model, transform, collator, tag_to_idx = build_all(
+        hyp, dataset, tokenizer, spec
+    )
+    data_root = hyp["data_root"]
+    batch_size = hyp.get("batch_size", 2)
+    start_epoch = hyp.get("start_epoch", 0)
+    end_epoch = hyp.get("end_epoch", 1)
+    eval_mode = hyp.get("eval_mode", spec.default_eval_mode)
+
+    train_ds = KIEDataset(
+        os.path.join(data_root, "train"), spec, tokenizer, train=True
+    )
+    test_ds = KIEDataset(
+        os.path.join(data_root, "test"), spec, tokenizer, train=False
+    )
+
+    model_axis = hyp.get("mesh_model", 1)
+    data_axis = hyp.get("mesh_data")
+    if data_axis is None:
+        # largest data-parallel degree that divides the batch size
+        avail = len(jax.devices()) // model_axis
+        data_axis = next(d for d in range(min(avail, batch_size), 0, -1)
+                         if batch_size % d == 0)
+    mesh = make_mesh(data=data_axis, model=model_axis)
+    niter_per_ep = max(len(train_ds) // batch_size, 1)
+    optimizer = make_optimizer(hyp, end_epoch, niter_per_ep)
+
+    sample_batch, _ = next(
+        iter(data_loader(train_ds, collator, batch_size, train=True, seed=0))
+    )
+    state = create_train_state(model, optimizer, sample_batch, seed=42)
+    state = replicate(state, mesh)
+
+    ckpt = CheckpointManager(
+        hyp.get("save_top", "./weights/"), hyp.get("top_F1_tresh", 0.0)
+    )
+    if hyp.get("weights"):
+        state, meta = ckpt.restore(hyp["weights"], state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"==> resumed from {hyp['weights']} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+    logger = MetricsLogger(save_log, comment)
+
+    def run_validate():
+        loader = (
+            (shard_batch(b, mesh), aux)
+            for b, aux in data_loader(
+                test_ds, collator, batch_size=1, train=False, seed=0
+            )
+        )
+        return validate(
+            eval_step,
+            state,
+            loader,
+            spec,
+            eval_mode=eval_mode,
+            tag_to_idx=tag_to_idx,
+            seqeval_average=hyp.get("seqeval_average", spec.seqeval_average),
+        )
+
+    results = run_validate()  # initial validate (train_SROIE.py:324-335)
+    best_f1 = results["primary_F1"]
+
+    steps_done = 0
+    key = jax.random.PRNGKey(hyp.get("seed", 42))
+    for epoch in range(start_epoch, end_epoch):
+        t_ep = time.time()
+        epoch_losses = []
+        for batch, _aux in data_loader(
+            train_ds, collator, batch_size, train=True, seed=epoch
+        ):
+            batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch, key)
+            epoch_losses.append(loss)
+            steps_done += 1
+            logger.set_step()
+            if max_steps and steps_done >= max_steps:
+                break
+        mean_loss = float(np.mean([float(l) for l in epoch_losses]))
+        print(
+            f"\tepoch[{epoch + 1}] train_loss: {mean_loss:.4f} "
+            f"time: {time.time() - t_ep:.0f}s"
+        )
+        logger.update(head="loss", step=epoch + 1, train_loss=mean_loss)
+
+        results = run_validate()
+        f1 = results["primary_F1"]
+        logger.update(head="criteria", step=epoch + 1, label_F1=f1)
+        best_f1 = max(best_f1, f1)
+        saved = ckpt.maybe_save(state, epoch, f1)
+        if saved:
+            print(f"==> checkpoint saved: {saved}")
+        if max_steps and steps_done >= max_steps:
+            break
+
+    logger.flush()
+    results["best_F1"] = best_f1
+    results["final_state"] = state
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="ViBERTgrid-TPU training")
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument(
+        "-d", "--dataset", default="sroie", choices=["sroie", "ephoie", "funsd"]
+    )
+    args = parser.parse_args(argv)
+    with open(args.config) as f:
+        hyp = yaml.safe_load(f)
+    train(hyp, args.dataset)
+
+
+if __name__ == "__main__":
+    main()
