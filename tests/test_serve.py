@@ -1,0 +1,124 @@
+"""Serving layer tests: engine predict + HTTP round trip (stdlib server)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vibertgrid_tpu.data.synthetic import (
+    make_synthetic_root,
+    make_test_tokenizer,
+    synthetic_spec,
+)
+from vibertgrid_tpu.serve.app import _extract_multipart, serve
+from vibertgrid_tpu.serve.engine import InferenceEngine
+from vibertgrid_tpu.serve.ocr_client import parse_ocr_result
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    make_synthetic_root(root, n_train=2, n_test=1)
+    tokenizer = make_test_tokenizer(root)
+    hyp = {
+        "num_classes": 5,
+        "bert_version": "tiny-bert-test",
+        "backbone": "resnet_18_fpn",
+        "classifier_mode": "simp",
+        "layer_mode": "single",
+        "image_min_size": [256],
+        "test_image_min_size": 256,
+        "image_max_size": 400,
+        "image_mean": [0.9] * 3,
+        "image_std": [0.15] * 3,
+        "tag_mode": "B",
+    }
+    return InferenceEngine(hyp, tokenizer=tokenizer, spec=synthetic_spec())
+
+
+def test_engine_predict(engine):
+    image = np.full((200, 160, 3), 0.95, np.float32)
+    texts = ["company corp", "total", "12.50"]
+    boxes = [[10, 10, 90, 24], [10, 40, 50, 54], [60, 40, 100, 54]]
+    result = engine.predict(image, texts, boxes)
+    assert set(result) == {"company", "date", "address", "total"}
+    assert all(isinstance(v, str) for v in result.values())
+
+
+def test_engine_empty_ocr(engine):
+    image = np.full((200, 160, 3), 0.95, np.float32)
+    result = engine.predict(image, [], np.zeros((0, 4), np.int32))
+    assert all(v == "" for v in result.values())
+
+
+def test_parse_ocr_modes():
+    api = {
+        "code": 200,
+        "result": {
+            "lines": [
+                {
+                    "text": "ab cd",
+                    "position": [0, 0, 50, 0, 50, 12, 0, 12],
+                    "char_positions": [
+                        [i * 10, 0, i * 10 + 9, 0, i * 10 + 9, 12, i * 10, 12]
+                        for i in range(5)
+                    ],
+                }
+            ]
+        },
+    }
+    code, texts, coors = parse_ocr_result(api, "eng_line")
+    assert code == 200 and texts == ["ab cd"] and coors == [[0, 0, 50, 12]]
+    code, texts, coors = parse_ocr_result(api, "eng_word")
+    assert texts == ["ab", "cd"]
+    code, texts, coors = parse_ocr_result(api, "chn_char")
+    assert len(texts) == 5
+    code, texts, coors = parse_ocr_result({"code": -1}, "eng_line")
+    assert code == -1 and texts == []
+
+
+def test_multipart_extraction():
+    boundary = "xyz"
+    content = b"IMAGE_BYTES_HERE"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="file"; filename="a.jpg"\r\n'
+        f"Content-Type: image/jpeg\r\n\r\n"
+    ).encode() + content + f"\r\n--{boundary}--\r\n".encode()
+    out = _extract_multipart(body, f'multipart/form-data; boundary="{boundary}"')
+    assert out == content
+
+
+class _StubEngine:
+    def predict_bytes(self, image_bytes):
+        return {"company": "ACME", "n_bytes": len(image_bytes)}
+
+
+def test_http_round_trip():
+    port = 18454
+    t = threading.Thread(
+        target=serve, args=(_StubEngine(),), kwargs={"port": port}, daemon=True
+    )
+    t.start()
+    import time
+
+    deadline = time.time() + 10
+    payload = b"--bnd\r\nContent-Disposition: form-data; name=\"file\"; filename=\"x\"\r\n\r\nBYTES\r\n--bnd--\r\n"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/core",
+        data=payload,
+        headers={"Content-Type": 'multipart/form-data; boundary="bnd"'},
+    )
+    while True:
+        try:
+            with urllib.request.urlopen(req, timeout=2) as r:
+                out = json.loads(r.read())
+            break
+        except Exception:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    assert out["result"]["company"] == "ACME"
+    assert out["result"]["n_bytes"] == len(b"BYTES")
