@@ -1,0 +1,63 @@
+"""Native host-ops library vs numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from vibertgrid_tpu.data import native
+from vibertgrid_tpu.data.transform import bilinear_resize as np_resize
+
+RNG = np.random.default_rng(3)
+
+needs_native = pytest.mark.skipif(
+    not native.native_available(), reason="g++ toolchain unavailable"
+)
+
+
+@needs_native
+def test_bilinear_matches_numpy():
+    img = RNG.standard_normal((37, 29, 3)).astype(np.float32)
+    got = native.bilinear_resize(img, 64, 48)
+    want = np_resize(img, 64, 48)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@needs_native
+def test_winner_matches_python():
+    boxes = np.array([[0, 0, 10, 10], [5, 5, 20, 20], [100, 100, 120, 110]],
+                     np.int32)
+    mask = np.array([1, 1, 0], np.uint8)
+    got = native.rasterize_winner(boxes, mask, 32, 32, stride=1)
+    native.set_enabled(False)
+    try:
+        want = native.rasterize_winner(boxes, mask, 32, 32, stride=1)
+    finally:
+        native.set_enabled(True)
+    np.testing.assert_array_equal(got, want)
+    assert got[7, 7] == 2 and got[1, 1] == 1 and got[25, 25] == 0
+
+
+@needs_native
+def test_pad_into():
+    img = RNG.standard_normal((10, 8, 3)).astype(np.float32)
+    dst = np.zeros((16, 12, 3), np.float32)
+    native.pad_into(img, dst)
+    np.testing.assert_array_equal(dst[:10, :8], img)
+    assert dst[10:].sum() == 0 and dst[:, 8:].sum() == 0
+
+
+@needs_native
+def test_native_faster_than_numpy_resize():
+    import time
+
+    img = RNG.standard_normal((1000, 700, 3)).astype(np.float32)
+    native.bilinear_resize(img, 800, 560)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        native.bilinear_resize(img, 800, 560)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np_resize(img, 800, 560)
+    t_numpy = time.perf_counter() - t0
+    # informational bound: native should not be slower than numpy by >2x
+    assert t_native < 2 * t_numpy, (t_native, t_numpy)

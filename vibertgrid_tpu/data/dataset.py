@@ -196,8 +196,10 @@ class Collator:
         max_w = max(w for _, w in hws)
         bh, bw = bucket_hw(max_h, max_w, self.hw_multiple)
         image_arr = np.zeros((b, bh, bw, 3), np.float32)
+        from vibertgrid_tpu.data import native
+
         for i, img in enumerate(images):
-            image_arr[i, : img.shape[0], : img.shape[1]] = img
+            native.pad_into(img, image_arr[i])
 
         n_seg = max(max((len(s.seg_classes) for s in samples), default=1), 1)
         s_cap = bucket_count(n_seg, self.seg_buckets)

@@ -1,0 +1,106 @@
+"""ctypes bindings for the native host-ops library (csrc/host_ops.cpp).
+
+The library is built lazily with g++ on first use and cached; every function
+has a numpy fallback, so the pipeline works without a toolchain. Use
+``native_available()`` to check, ``set_enabled(False)`` to force the numpy
+path (tests compare both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libhost_ops.so"))
+
+_lib = None
+_enabled = True
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["sh", os.path.abspath(os.path.join(_CSRC, "build.sh"))],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        c = ctypes.c_int
+        lib.bilinear_resize_f32.argtypes = [f32p, c, c, c, f32p, c, c]
+        lib.rasterize_winner_i32.argtypes = [i32p, u8p, c, i32p, c, c, c]
+        lib.pad_batch_f32.argtypes = [f32p, c, c, c, f32p, c, c, c]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def set_enabled(flag: bool) -> None:
+    global _enabled
+    _enabled = flag
+
+
+def bilinear_resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Native-or-numpy torch-semantics bilinear resize. image [H, W, C]."""
+    lib = _load() if _enabled else None
+    if lib is None:
+        from vibertgrid_tpu.data.transform import bilinear_resize as np_resize
+
+        return np_resize(image, out_h, out_w)
+    src = np.ascontiguousarray(image, np.float32)
+    h, w, c = src.shape
+    if (h, w) == (out_h, out_w):
+        return src
+    dst = np.empty((out_h, out_w, c), np.float32)
+    lib.bilinear_resize_f32(src, h, w, c, dst, out_h, out_w)
+    return dst
+
+
+def rasterize_winner(
+    boxes: np.ndarray, mask: np.ndarray, h: int, w: int, stride: int = 1
+) -> np.ndarray:
+    """Host-side winner map (same semantics as ops.rasterize.box_winner_map)."""
+    lib = _load() if _enabled else None
+    if lib is None:
+        out = np.zeros((h, w), np.int32)
+        for i in range(len(boxes)):
+            if not mask[i]:
+                continue
+            x0, y0, x1, y1 = (int(v) // stride for v in boxes[i])
+            out[max(y0, 0) : min(y1, h), max(x0, 0) : min(x1, w)] = i + 1
+        return out
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    out = np.empty((h, w), np.int32)
+    lib.rasterize_winner_i32(boxes, mask, len(boxes), out, h, w, stride)
+    return out
+
+
+def pad_into(image: np.ndarray, dst: np.ndarray) -> None:
+    """Copy image [h,w,c] into the top-left of dst [bh,bw,c] (dst pre-zeroed)."""
+    lib = _load() if _enabled else None
+    h, w, c = image.shape
+    if lib is None:
+        dst[:h, :w] = image
+        return
+    lib.pad_batch_f32(
+        np.ascontiguousarray(image, np.float32), h, w, c,
+        dst, dst.shape[0], dst.shape[1], 0,
+    )

@@ -82,7 +82,9 @@ class ImageTransform:
             scale = self.max_size / max(h, w)
         out_h, out_w = int(math.floor(h * scale)), int(math.floor(w * scale))
 
-        resized = bilinear_resize(image, out_h, out_w)
+        from vibertgrid_tpu.data import native
+
+        resized = native.bilinear_resize(image, out_h, out_w)
         mean = np.asarray(self.image_mean, np.float32)
         std = np.asarray(self.image_std, np.float32)
         resized = (resized - mean) / std
