@@ -171,6 +171,36 @@ def test_gradients_flow():
         assert norms[branch] > 0, f"no gradient into {branch}: {norms}"
 
 
+def test_multi_window_long_corpus():
+    """Corpora beyond 510 tokens fold into extra windows; a segment spanning
+    the window boundary must still aggregate across both windows (the
+    reference re-concatenates windows before aggregation,
+    model/BERTgrid_generator.py:146-191)."""
+    cfg, batch, model, variables = setup("noohem")
+    t2 = 2 * 510
+    rng = np.random.default_rng(5)
+    tokens = np.zeros((B, t2), np.int32)
+    token_mask = np.zeros((B, t2), np.int32)
+    seg_ids = np.zeros((B, t2), np.int32)
+    n_tok = 600  # crosses the 510 boundary
+    tokens[:, :n_tok] = rng.integers(3, 500, (B, n_tok))
+    token_mask[:, :n_tok] = 1
+    # segment S-1 spans tokens 500..599 (both windows)
+    per_seg = n_tok // S
+    ids = np.repeat(np.arange(S), per_seg)[:n_tok]
+    ids = np.sort(ids)
+    seg_ids[:, :n_tok] = ids
+    batch2 = batch.replace(
+        tokens=jnp.asarray(tokens),
+        token_mask=jnp.asarray(token_mask),
+        seg_ids=jnp.asarray(seg_ids),
+    )
+    out = apply_eval(model, variables, batch2, compute_loss=False)
+    pred = np.asarray(out.pred_label)
+    assert pred.shape == (B, S, 5)
+    assert np.all(np.isfinite(pred))
+
+
 def test_masked_segments_do_not_affect_valid_preds():
     cfg, batch, model, variables = setup("noohem")
 

@@ -65,3 +65,44 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# --- multi-host helpers (pipeline/distributed_utils.py:28-70 equivalents) ---
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def init_distributed_mode() -> None:
+    """Multi-host bootstrap (replaces torchrun env parsing + NCCL
+    init_process_group, distributed_utils.py:73-100). On a single host this
+    is a no-op; on TPU pods coordinator discovery is automatic."""
+    if jax.process_count() > 1 or "COORDINATOR_ADDRESS" in __import__("os").environ:
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass  # already initialized (or single-process)
+
+
+def setup_rank0_print() -> None:
+    """Gate print() to rank 0 (distributed_utils.py:57-70)."""
+    if is_main_process():
+        return
+    import builtins
+
+    orig = builtins.print
+
+    def quiet_print(*args, force: bool = False, **kwargs):
+        if force:
+            orig(*args, **kwargs)
+
+    builtins.print = quiet_print

@@ -113,6 +113,13 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     start_epoch = hyp.get("start_epoch", 0)
     end_epoch = hyp.get("end_epoch", 1)
     eval_mode = hyp.get("eval_mode", spec.default_eval_mode)
+    if hyp.get("classifier_mode") == "crf":
+        # The CRF head emits decoded tags, not per-class scores; only the
+        # seqeval metric applies (train_SROIE.py:134-137).
+        assert eval_mode == "seqeval", (
+            "When using the crf classifier, only the seqeval metric is "
+            "available"
+        )
 
     train_ds = KIEDataset(
         os.path.join(data_root, "train"), spec, tokenizer, train=True
