@@ -185,3 +185,41 @@ def evaluate_dataset(
         tag_to_idx=spec.tag_to_idx(tag_mode),
         **kw,
     )
+
+
+def inference_once(
+    eval_step,
+    state,
+    batch,
+    aux,
+    spec: DatasetSpec,
+    draw: bool = False,
+    save_path: str = "./inference_result.jpg",
+) -> list[dict]:
+    """Single-batch inference demo (train_val_utils.py:668-733): prints
+    timing, collects per-class {text: box} dicts, optionally draws boxes."""
+    import time
+
+    assert len(aux.n_segments) == 1, "inference_once expects batch size 1"
+    t0 = time.time()
+    out = eval_step(state, batch)
+    pred = np.asarray(out.pred_label, np.float32)
+    print(f"inference speed: {(time.time() - t0) * 1000:.1f}ms")
+
+    n = aux.n_segments[0]
+    probs = pred[0, :n]
+    pred_cls = probs.argmax(-1) if probs.ndim == 2 else probs.astype(int)
+    boxes = np.asarray(batch.boxes)[0, :n]
+    class_result = [dict() for _ in range(spec.num_classes - 1)]
+    for text, box, cls in zip(aux.texts[0], boxes, pred_cls):
+        if int(cls) == 0:
+            continue
+        class_result[int(cls) - 1][text] = box.tolist()
+    for item in class_result:
+        print(item)
+    if draw:
+        from vibertgrid_tpu.utils.visualize import draw_box
+
+        img = np.asarray(batch.images)[0]
+        draw_box(img, class_result, list(spec.class_list), save_path=save_path)
+    return class_result

@@ -253,3 +253,37 @@ def load_torchvision_resnet(params: dict, state_dict: dict, size_list) -> dict:
             if bstats:
                 stats[block] = bstats
     return p, stats
+
+
+def merge_backbone_stats(batch_stats: dict, loaded_stats: dict) -> dict:
+    """Overlay running mean/var from :func:`load_torchvision_resnet` onto a
+    backbone 'batch_stats' collection."""
+    out = dict(batch_stats)
+    for block, block_stats in loaded_stats.items():
+        if "mean" in block_stats:  # flat entry (stem_bn)
+            out[block] = {**out.get(block, {}), **block_stats}
+            continue
+        merged = dict(out.get(block, {}))
+        for bn_name, mv in block_stats.items():
+            merged[bn_name] = {**merged.get(bn_name, {}), **mv}
+        out[block] = merged
+    return out
+
+
+def load_pretrained_backbone(variables: dict, state_dict: dict, backbone: str):
+    """Splice a torchvision resnet state dict into full model variables
+    (params + batch_stats under the 'backbone' module) — the reference's
+    ``resnet18(pretrained=True)`` path (ResNetFPN_ViBERTgrid.py:521-524)
+    from a local checkpoint."""
+    size_list = BACKBONE_REGISTRY[backbone]["size_list"]
+    bp, stats = load_torchvision_resnet(
+        variables["params"]["backbone"], state_dict, size_list
+    )
+    params = dict(variables["params"], backbone=bp)
+    batch_stats = dict(
+        variables.get("batch_stats", {}),
+        backbone=merge_backbone_stats(
+            variables.get("batch_stats", {}).get("backbone", {}), stats
+        ),
+    )
+    return dict(variables, params=params, batch_stats=batch_stats)

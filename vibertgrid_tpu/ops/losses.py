@@ -60,24 +60,35 @@ def _masked_topk_sum(losses, mask, k):
     """Sum of the ``min(k, n_masked)`` largest masked losses.
 
     Returns ``(sum, kept_count)``. ``k = -1`` keeps everything masked.
+
+    Uses ``lax.top_k`` (k is static) instead of a full sort — the pixel-level
+    aux losses run this over millions of elements, where full sorts dominated
+    the train step.
     """
     n = jnp.sum(mask.astype(jnp.int32))
     if k == -1:
         return jnp.sum(jnp.where(mask, losses, 0.0)), n
-    vals = jnp.where(mask, losses, -jnp.inf)
-    vals = -jnp.sort(-vals)  # descending
-    keep_n = jnp.minimum(k, n)
-    take = jnp.arange(vals.shape[0]) < keep_n
-    return jnp.sum(jnp.where(take & jnp.isfinite(vals), vals, 0.0)), keep_n
+    k_eff = min(k, losses.size)
+    vals = jnp.where(mask, losses, -jnp.inf).reshape(-1)
+    topv, _ = jax.lax.top_k(vals, k_eff)
+    finite = jnp.isfinite(topv)  # exactly min(k, n) entries are valid
+    return jnp.sum(jnp.where(finite, topv, 0.0)), jnp.minimum(k, n)
 
 
 def _random_subsample_mask(mask, limit, key):
-    """Keep a uniformly random ``min(limit, n)`` subset of a boolean mask."""
-    scores = jax.random.uniform(key, mask.shape)
-    scores = jnp.where(mask, scores, jnp.inf)
-    rank = jnp.argsort(jnp.argsort(scores))  # rank among ascending scores
-    n = jnp.sum(mask.astype(jnp.int32))
-    return mask & (rank < jnp.minimum(limit, n))
+    """Keep a uniformly random ``min(limit, n)`` subset of a boolean mask.
+
+    Exact without-replacement sampling via top-k over random scores (the
+    Gumbel-top-k trick degenerates to this for uniform weights): the k
+    largest of iid uniforms over the masked entries are a uniform random
+    k-subset. O(N log k) instead of two full argsorts.
+    """
+    limit_eff = min(limit, mask.size)
+    scores = jax.random.uniform(key, (mask.size,))
+    scores = jnp.where(mask.reshape(-1), scores, -jnp.inf)
+    topv, idx = jax.lax.top_k(scores, limit_eff)
+    keep = jnp.zeros((mask.size,), bool).at[idx].set(jnp.isfinite(topv))
+    return mask & keep.reshape(mask.shape)
 
 
 def cross_entropy_ohem(

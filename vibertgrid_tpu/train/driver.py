@@ -92,6 +92,45 @@ def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
     return spec, cfg, model, transform, collator, tag_to_idx
 
 
+def _load_torch_state_dict(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return sd.get("model", sd) if isinstance(sd, dict) else sd
+
+
+def load_pretrained_into_state(state, hyp: dict, cfg):
+    """Splice local HF BERT / torchvision ResNet weights into a TrainState."""
+    params = state.params
+    batch_stats = state.batch_stats
+    if hyp.get("bert_weights"):
+        from vibertgrid_tpu.models.bert import load_hf_weights
+
+        text_cfg = cfg.resolved_text_config()
+        bert_params = load_hf_weights(
+            params["bert_model"],
+            _load_torch_state_dict(hyp["bert_weights"]),
+            text_cfg.num_layers,
+        )
+        params = dict(params, bert_model=bert_params)
+        print("==> loaded local BERT weights")
+    if hyp.get("backbone_weights"):
+        from vibertgrid_tpu.models.resnet_fpn import load_pretrained_backbone
+
+        variables = load_pretrained_backbone(
+            {"params": params, "batch_stats": batch_stats},
+            _load_torch_state_dict(hyp["backbone_weights"]),
+            cfg.backbone,
+        )
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        print("==> loaded local backbone weights")
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
 def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> dict:
     """Full training run; returns final metrics. ``max_steps`` truncates for
     smoke tests."""
@@ -144,6 +183,12 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     )
     state = create_train_state(model, optimizer, sample_batch, seed=42)
     state = replicate(state, mesh)
+
+    # Pretrained ingestion from LOCAL checkpoints (no hub):
+    # - bert_weights: HF torch state dict (.bin / .safetensors / .pt)
+    # - backbone_weights: torchvision resnet state dict (.pth)
+    if hyp.get("bert_weights") or hyp.get("backbone_weights"):
+        state = load_pretrained_into_state(state, hyp, cfg)
 
     ckpt = CheckpointManager(
         hyp.get("save_top", "./weights/"), hyp.get("top_F1_tresh", 0.0)
