@@ -63,7 +63,15 @@ def main():
     @jax.jit
     def bench_loop(variables, batch):
         def body(i, carry):
-            b2 = batch.replace(images=batch.images + carry * 1e-9)
+            # Every input leg must be loop-carried, or XLA hoists that branch
+            # out of the while loop and the bench under-measures (verified:
+            # with constant tokens the whole BERT subgraph is computed once).
+            delta = (carry > 1e30).astype(jnp.int32)  # 0 at runtime
+            b2 = batch.replace(
+                images=batch.images + carry * 1e-9,
+                tokens=batch.tokens + delta,
+                boxes=batch.boxes + delta,
+            )
             out = model.apply(
                 variables, b2, train=False, compute_loss=False,
                 key=jax.random.PRNGKey(0),

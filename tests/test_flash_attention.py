@@ -1,0 +1,87 @@
+"""Fused Pallas attention vs the XLA einsum oracle (interpret mode on CPU).
+
+Covers forward parity, gradient parity through the custom VJP (including the
+mask-bias cotangent), non-128-multiple sequence lengths (padding path), and
+the encoder-level impl switch.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vibertgrid_tpu.ops.flash_attention import flash_attention
+
+RNG = np.random.default_rng(11)
+
+
+def _inputs(b=2, h=3, t=200, d=32):
+    q = RNG.standard_normal((b, h, t, d)).astype(np.float32)
+    k = RNG.standard_normal((b, h, t, d)).astype(np.float32)
+    v = RNG.standard_normal((b, h, t, d)).astype(np.float32)
+    mask = RNG.random((b, t)) > 0.25
+    mask[:, :2] = True  # at least some real keys per row
+    bias = np.where(mask, 0.0, -1e9).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias)
+
+
+def _oracle(q, k, v, bias, sm_scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_flash_attention_forward_matches_oracle():
+    q, k, v, bias = _inputs()
+    sm_scale = 1.0 / np.sqrt(q.shape[-1])
+    got = flash_attention(q, k, v, bias, sm_scale, True)
+    want = _oracle(q, k, v, bias, sm_scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_forward_aligned_t():
+    q, k, v, bias = _inputs(t=128)
+    got = flash_attention(q, k, v, bias, 0.125, True)
+    want = _oracle(q, k, v, bias, 0.125)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_attention_grads_match_oracle():
+    q, k, v, bias = _inputs(b=1, h=2, t=96, d=16)
+    sm_scale = 0.25
+    w = jnp.asarray(RNG.standard_normal((1, 2, 96, 16)).astype(np.float32))
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(flash_attention(q, k, v, bias, sm_scale, True) * w)
+
+    def loss_oracle(q, k, v, bias):
+        return jnp.sum(_oracle(q, k, v, bias, sm_scale) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for g, wv, name in zip(got, want, "qkvb"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wv), atol=3e-5, err_msg=f"d{name}"
+        )
+
+
+def test_encoder_flash_switch_matches_xla():
+    """TextEncoder output is identical (within bf16-free fp32 tolerance)
+    whichever attention impl is selected."""
+    import dataclasses
+
+    from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig
+
+    cfg = TextEncoderConfig.tiny()
+    ids = jnp.asarray(RNG.integers(3, 500, (2, 40)), jnp.int32)
+    mask = jnp.ones((2, 40), jnp.int32).at[:, 30:].set(0)
+
+    enc_xla = TextEncoder(dataclasses.replace(cfg, attention_impl="xla"))
+    variables = enc_xla.init(jax.random.PRNGKey(0), ids, mask)
+    out_xla = enc_xla.apply(variables, ids, mask)
+
+    enc_flash = TextEncoder(dataclasses.replace(cfg, attention_impl="flash"))
+    out_flash = enc_flash.apply(variables, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=3e-5
+    )

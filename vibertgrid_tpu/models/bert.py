@@ -51,6 +51,11 @@ class TextEncoderConfig:
     flavor: str = "bert"  # "bert" | "roberta"
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
+    # "auto": fused Pallas attention on TPU whenever prob-dropout is inactive
+    # (deterministic or rate 0); "flash"/"xla" force a path. The XLA einsum
+    # path remains the choice under attention-prob dropout and head-sharded
+    # tensor parallelism (GSPMD cannot partition a pallas_call).
+    attention_impl: str = "auto"
 
     @staticmethod
     def tiny(flavor: str = "bert") -> "TextEncoderConfig":
@@ -95,13 +100,32 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(dh).astype(jnp.float32)
-        scores = scores + attn_bias  # [b, 1, 1, t] additive mask
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
+        use_flash = cfg.attention_impl == "flash" or (
+            cfg.attention_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and (deterministic or cfg.attention_dropout == 0.0)
+        )
+        if use_flash:
+            from vibertgrid_tpu.ops.flash_attention import flash_attention
+
+            ctx = flash_attention(
+                q,
+                k,
+                v,
+                attn_bias[:, 0, 0, :],
+                1.0 / float(dh) ** 0.5,
+                jax.default_backend() != "tpu",  # interpret off-TPU (tests)
+            ).transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(dh).astype(jnp.float32)
+            scores = scores + attn_bias  # [b, 1, 1, t] additive mask
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout)(
+                probs, deterministic=deterministic
+            )
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
         ctx = ctx.reshape(b, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         return out

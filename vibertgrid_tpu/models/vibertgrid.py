@@ -109,6 +109,7 @@ class ModelConfig:
     cls_token_id: int = 101
     sep_token_id: int = 102
     compute_dtype: Any = jnp.float32
+    attention_impl: str = "auto"               # see TextEncoderConfig
     text_config: TextEncoderConfig | None = None  # override (tests)
 
     @property
@@ -120,8 +121,10 @@ class ModelConfig:
         return self.num_classes
 
     def resolved_text_config(self) -> TextEncoderConfig:
+        import dataclasses as _dc
+
         if self.text_config is not None:
-            return self.text_config
+            return _dc.replace(self.text_config, attention_impl=self.attention_impl)
         if self.bert_version not in BERT_MODEL_REGISTRY:
             raise ValueError(
                 f"unknown bert_version {self.bert_version!r}; "
@@ -138,8 +141,10 @@ class ModelConfig:
             "tiny-bert-test": 512,
         }[self.bert_version]
         if self.bert_version == "tiny-bert-test":
-            return TextEncoderConfig.tiny()
-        return TextEncoderConfig.base(flavor, vocab)
+            cfg = TextEncoderConfig.tiny()
+        else:
+            cfg = TextEncoderConfig.base(flavor, vocab)
+        return _dc.replace(cfg, attention_impl=self.attention_impl)
 
     @staticmethod
     def from_yaml_dict(hyp: dict) -> "ModelConfig":
@@ -172,6 +177,7 @@ class ModelConfig:
             num_hard_negative_aux=hyp.get("num_hard_negative_aux", -1),
             ohem_random=hyp.get("ohem_random", False),
             compute_dtype=jnp.bfloat16 if hyp.get("amp", False) else jnp.float32,
+            attention_impl=hyp.get("attention_impl", "auto"),
         )
 
 
