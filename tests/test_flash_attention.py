@@ -1,8 +1,9 @@
-"""Fused Pallas attention vs the XLA einsum oracle (interpret mode on CPU).
+"""Fused packed-head Pallas attention vs the XLA einsum oracle (interpret
+mode on CPU).
 
 Covers forward parity, gradient parity through the custom VJP (including the
-mask-bias cotangent), non-128-multiple sequence lengths (padding path), and
-the encoder-level impl switch.
+mask-bias cotangent), non-128-multiple sequence lengths (padding path),
+odd head-group packings, and the encoder-level impl switch.
 """
 
 import numpy as np
@@ -15,47 +16,54 @@ RNG = np.random.default_rng(11)
 
 
 def _inputs(b=2, h=3, t=200, d=32):
-    q = RNG.standard_normal((b, h, t, d)).astype(np.float32)
-    k = RNG.standard_normal((b, h, t, d)).astype(np.float32)
-    v = RNG.standard_normal((b, h, t, d)).astype(np.float32)
+    q = RNG.standard_normal((b, t, h * d)).astype(np.float32)
+    k = RNG.standard_normal((b, t, h * d)).astype(np.float32)
+    v = RNG.standard_normal((b, t, h * d)).astype(np.float32)
     mask = RNG.random((b, t)) > 0.25
     mask[:, :2] = True  # at least some real keys per row
     bias = np.where(mask, 0.0, -1e9).astype(np.float32)
     return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias)
 
 
-def _oracle(q, k, v, bias, sm_scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+def _oracle(q, k, v, bias, sm_scale, h):
+    b, t, m = q.shape
+    d = m // h
+    qh, kh, vh = (
+        x.reshape(b, t, h, d).transpose(0, 2, 1, 3) for x in (q, k, v)
+    )
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * sm_scale
     s = s + bias[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t, m)
 
 
 def test_flash_attention_forward_matches_oracle():
     q, k, v, bias = _inputs()
-    sm_scale = 1.0 / np.sqrt(q.shape[-1])
-    got = flash_attention(q, k, v, bias, sm_scale, True)
-    want = _oracle(q, k, v, bias, sm_scale)
+    sm_scale = 1.0 / np.sqrt(32)
+    got = flash_attention(q, k, v, bias, sm_scale, 3, True)
+    want = _oracle(q, k, v, bias, sm_scale, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_flash_attention_forward_aligned_t():
-    q, k, v, bias = _inputs(t=128)
-    got = flash_attention(q, k, v, bias, 0.125, True)
-    want = _oracle(q, k, v, bias, 0.125)
+def test_flash_attention_forward_aligned_t_grouped_heads():
+    # d=64, h=4 → two heads per program (lane-aligned packing)
+    q, k, v, bias = _inputs(h=4, t=128, d=64)
+    got = flash_attention(q, k, v, bias, 0.125, 4, True)
+    want = _oracle(q, k, v, bias, 0.125, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_flash_attention_grads_match_oracle():
     q, k, v, bias = _inputs(b=1, h=2, t=96, d=16)
     sm_scale = 0.25
-    w = jnp.asarray(RNG.standard_normal((1, 2, 96, 16)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((1, 96, 32)).astype(np.float32))
 
     def loss_flash(q, k, v, bias):
-        return jnp.sum(flash_attention(q, k, v, bias, sm_scale, True) * w)
+        return jnp.sum(flash_attention(q, k, v, bias, sm_scale, 2, True) * w)
 
     def loss_oracle(q, k, v, bias):
-        return jnp.sum(_oracle(q, k, v, bias, sm_scale) * w)
+        return jnp.sum(_oracle(q, k, v, bias, sm_scale, 2) * w)
 
     got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
     want = jax.grad(loss_oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
@@ -66,8 +74,8 @@ def test_flash_attention_grads_match_oracle():
 
 
 def test_encoder_flash_switch_matches_xla():
-    """TextEncoder output is identical (within bf16-free fp32 tolerance)
-    whichever attention impl is selected."""
+    """TextEncoder output is identical (within fp32 tolerance) whichever
+    attention impl is selected."""
     import dataclasses
 
     from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig

@@ -97,15 +97,14 @@ class SelfAttention(nn.Module):
         k = dense("key")(hidden)
         v = dense("value")(hidden)
         b, t = hidden.shape[:2]
-        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         use_flash = cfg.attention_impl == "flash" or (
             cfg.attention_impl == "auto"
             and jax.default_backend() == "tpu"
             and (deterministic or cfg.attention_dropout == 0.0)
         )
         if use_flash:
+            # Packed-head fused kernel: consumes the projection outputs
+            # [b, t, h·dh] directly, so no head transposes exist at all.
             from vibertgrid_tpu.ops.flash_attention import flash_attention
 
             ctx = flash_attention(
@@ -114,9 +113,13 @@ class SelfAttention(nn.Module):
                 v,
                 attn_bias[:, 0, 0, :],
                 1.0 / float(dh) ** 0.5,
+                h,
                 jax.default_backend() != "tpu",  # interpret off-TPU (tests)
-            ).transpose(0, 2, 1, 3)
+            )
         else:
+            q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+            v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
             scores = jnp.einsum(
                 "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
             ) / jnp.sqrt(dh).astype(jnp.float32)
@@ -126,7 +129,7 @@ class SelfAttention(nn.Module):
                 probs, deterministic=deterministic
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
-        ctx = ctx.reshape(b, t, d)
+            ctx = ctx.reshape(b, t, d)
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         return out
 

@@ -229,11 +229,14 @@ class ViBERTgridNet(nn.Module):
         )  # [B, S, D]
 
         # --- BERTgrid scatter (ops/rasterize.py) ---
+        # Scatter in the compute dtype: the grid feeds straight into the bf16
+        # backbone, so a fp32 grid would just double the HBM traffic of the
+        # largest intermediate (75 MB at bench shapes) before being cast.
         grid = jax.vmap(
             lambda e, bx, m: bertgrid_scatter(
                 e, bx, m, height=h // gs, width=w // gs, stride=gs
             )
-        )(seg_emb, batch.boxes, batch.box_mask)  # [B, H/gs, W/gs, D]
+        )(seg_emb.astype(dtype), batch.boxes, batch.box_mask)  # [B,H/gs,W/gs,D]
 
         # --- CNN backbone with early fusion ---
         backbone_kw = BACKBONE_REGISTRY[cfg.backbone]

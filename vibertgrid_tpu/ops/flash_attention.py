@@ -5,8 +5,14 @@ The reference's transformer half runs through HF ``BertModel`` → cuDNN/cuBLAS
 materialises the ``[B, H, T, T]`` score/prob tensors in main memory. On TPU
 that is pure HBM-bandwidth waste: at T=512 each encoder layer writes+reads
 ~100 MB of probabilities per batch. This kernel fuses
-``scores → mask-bias → softmax → probs @ V`` into one VMEM-resident program
-per (batch·head), so only Q/K/V/O ([T, D] each) ever touch HBM.
+``scores → mask-bias → softmax → probs @ V`` into one VMEM-resident program,
+so only Q/K/V/O ever touch HBM.
+
+Layout: the kernel consumes Q/K/V **packed** as ``[B, T, H·D]`` — the natural
+output of the projection matmuls — and emits the context in the same layout.
+Heads are separated by static in-kernel slices (``G = 128/D`` heads per grid
+program keeps blocks lane-aligned), so the six ``[B,T,H,D] ↔ [B,H,T,D]``
+transposes per layer that a head-major attention needs never exist at all.
 
 T here is the 510-token window length after [CLS]/[SEP] framing (≤ 512 —
 ``max_position_embeddings``), so a full [T, T] fp32 score tile fits in VMEM
@@ -37,167 +43,203 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale):
-    """One (batch·head): out = softmax(q kᵀ · scale + bias) v, all in VMEM."""
-    q = q_ref[0]  # [T, D]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * sm_scale + bias_ref[0]  # [1,T] bias broadcasts over [T,T]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
-    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+def _heads_per_program(num_heads: int, d_head: int) -> int:
+    """Smallest head group whose packed width is lane-aligned (or all heads)."""
+    for g in range(1, num_heads + 1):
+        if num_heads % g == 0 and (g * d_head) % 128 == 0:
+            return g
+    return num_heads
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale, heads, d):
+    """One (batch · head-group): for each packed head, softmax(qkᵀ+bias)v."""
+    bias = bias_ref[0]  # [1, T]
+    for g in range(heads):
+        sl = slice(g * d, (g + 1) * d)
+        q = q_ref[0][:, sl]  # [T, D]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * sm_scale + bias  # [T, T] fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, db_ref, *, sm_scale
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    do_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    db_ref,
+    *,
+    sm_scale,
+    heads,
+    d,
 ):
-    """One (batch·head): rematerialise p, then dq/dk/dv/d_bias."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s * sm_scale + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, T] fp32
-
-    # softmax VJP: ds = p ⊙ (dp − rowsum(dp ⊙ p))
-    dp = jax.lax.dot_general(
-        do,
-        v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)  # fp32 [T, T]
-
-    dq_ref[0] = (
-        jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32) * sm_scale
-    ).astype(dq_ref.dtype)
-    dk_ref[0] = (
-        jax.lax.dot_general(
-            ds.astype(q.dtype),
+    """One (batch · head-group): rematerialise p, then dq/dk/dv/d_bias."""
+    bias = bias_ref[0]
+    db_acc = jnp.zeros_like(bias)
+    for g in range(heads):
+        sl = slice(g * d, (g + 1) * d)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        s = jax.lax.dot_general(
             q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * sm_scale
-    ).astype(dk_ref.dtype)
-    dv_ref[0] = jax.lax.dot_general(
-        p.astype(do.dtype),
-        do,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    db_ref[0] = jnp.sum(ds, axis=0, keepdims=True).astype(db_ref.dtype)
+        s = s * sm_scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, T] fp32
+
+        # softmax VJP: ds = p ⊙ (dp − rowsum(dp ⊙ p))
+        dp = jax.lax.dot_general(
+            do,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)  # fp32 [T, T]
+
+        dq_ref[0, :, sl] = (
+            jnp.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+            * sm_scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                ds.astype(q.dtype),
+                q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+        ).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(do.dtype),
+            do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        db_acc = db_acc + jnp.sum(ds, axis=0, keepdims=True)
+    db_ref[0] = db_acc.astype(db_ref.dtype)
 
 
-def _pad_inputs(q, k, v, bias):
-    """Pad T up to a lane-aligned multiple of 128; padded keys get −1e9 bias."""
-    t = q.shape[2]
-    tp = _round_up(t, 128)
+def _pad_t(x, tp, value=0.0):
+    t = x.shape[1]
     if tp == t:
-        return q, k, v, bias, t
-    pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
-    q = jnp.pad(q, pad)
-    k = jnp.pad(k, pad)
-    v = jnp.pad(v, pad)
-    bias = jnp.pad(bias, [(0, 0), (0, tp - t)], constant_values=-1e9)
-    return q, k, v, bias, t
+        return x
+    return jnp.pad(
+        x, [(0, 0), (0, tp - t)] + [(0, 0)] * (x.ndim - 2), constant_values=value
+    )
 
 
-def _specs(h, tp, d):
-    """Shared pallas_call layout: grid (B·H,), [B·H, T, D] blocks + bias."""
+def _specs(groups_per_batch, tp, width):
+    """pallas_call layout: grid (B · H/G,), packed [B, T, H·D] blocks + bias."""
+    qkv_spec = pl.BlockSpec(
+        (1, tp, width),
+        lambda i: (i // groups_per_batch, 0, i % groups_per_batch),
+        memory_space=pltpu.VMEM,
+    )
     # bias rides as [B, 1, T]: TPU blocks need their last two dims either
-    # 8/128-aligned or equal to the array dims, so the head-broadcast axis
-    # becomes an explicit singleton.
-    qkv_spec = pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # 8/128-aligned or equal to the array dims, so the broadcast axis becomes
+    # an explicit singleton.
     bias_spec = pl.BlockSpec(
-        (1, 1, tp), lambda i: (i // h, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, tp),
+        lambda i: (i // groups_per_batch, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     return qkv_spec, bias_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention(q, k, v, bias, sm_scale, interpret=False):
-    """Fused multi-head attention: ``softmax(q kᵀ · sm_scale + bias) v``.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q, k, v, bias, sm_scale, num_heads, interpret=False):
+    """Fused multi-head attention on packed heads.
 
-    q/k/v: [B, H, T, D]; bias: [B, T] additive fp32 key mask (0 or −1e9),
-    broadcast over heads and queries. Returns [B, H, T, D] in q's dtype.
+    q/k/v: ``[B, T, H·D]`` (projection-matmul layout — no head transpose);
+    bias: ``[B, T]`` additive fp32 key mask (0 or −1e9), broadcast over heads
+    and queries. Returns ``[B, T, H·D]`` in q's dtype.
     """
-    out, _ = _flash_attention_fwd(q, k, v, bias, sm_scale, interpret)
+    out, _ = _flash_attention_fwd(q, k, v, bias, sm_scale, num_heads, interpret)
     return out
 
 
-def _flash_attention_fwd(q, k, v, bias, sm_scale, interpret):
-    b, h, t, d = q.shape
-    qp, kp, vp, biasp, _ = _pad_inputs(q, k, v, bias.astype(jnp.float32))
-    tp = qp.shape[2]
-    qkv_spec, bias_spec = _specs(h, tp, d)
+def _call_geometry(q, num_heads):
+    b, t, m = q.shape
+    assert m % num_heads == 0, (m, num_heads)
+    d = m // num_heads
+    g = _heads_per_program(num_heads, d)
+    tp = _round_up(t, 128)
+    return b, t, m, d, g, tp
+
+
+def _flash_attention_fwd(q, k, v, bias, sm_scale, num_heads, interpret):
+    b, t, m, d, g, tp = _call_geometry(q, num_heads)
+    groups = num_heads // g
+    qp = _pad_t(q, tp)
+    kp = _pad_t(k, tp)
+    vp = _pad_t(v, tp)
+    biasp = _pad_t(bias.astype(jnp.float32), tp, -1e9)
+    qkv_spec, bias_spec = _specs(groups, tp, g * d)
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=g, d=d)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
-        grid=(b * h,),
+        kernel,
+        grid=(b * groups,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, m), q.dtype),
         interpret=interpret,
-    )(
-        qp.reshape(b * h, tp, d),
-        kp.reshape(b * h, tp, d),
-        vp.reshape(b * h, tp, d),
-        biasp[:, None, :],
-    )
-    out = out.reshape(b, h, tp, d)[:, :, :t]
-    return out, (q, k, v, bias)
+    )(qp, kp, vp, biasp[:, None, :])
+    return out[:, :t], (q, k, v, bias)
 
 
-def _flash_attention_bwd(sm_scale, interpret, residuals, g):
+def _flash_attention_bwd(sm_scale, num_heads, interpret, residuals, grad):
     q, k, v, bias = residuals
-    b, h, t, d = q.shape
-    qp, kp, vp, biasp, _ = _pad_inputs(q, k, v, bias.astype(jnp.float32))
-    gp = _pad_inputs(g, g, g, bias.astype(jnp.float32))[0]
-    tp = qp.shape[2]
-    qkv_spec, bias_spec = _specs(h, tp, d)
+    b, t, m, d, g, tp = _call_geometry(q, num_heads)
+    groups = num_heads // g
+    qp = _pad_t(q, tp)
+    kp = _pad_t(k, tp)
+    vp = _pad_t(v, tp)
+    gp = _pad_t(grad, tp)
+    biasp = _pad_t(bias.astype(jnp.float32), tp, -1e9)
+    qkv_spec, bias_spec = _specs(groups, tp, g * d)
     db_spec = pl.BlockSpec(
         (1, 1, tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=g, d=d)
     dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
-        grid=(b * h,),
+        kernel,
+        grid=(b * groups,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec, db_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, tp, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, tp, d), v.dtype),
-            jax.ShapeDtypeStruct((b * h, 1, tp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tp, m), q.dtype),
+            jax.ShapeDtypeStruct((b, tp, m), k.dtype),
+            jax.ShapeDtypeStruct((b, tp, m), v.dtype),
+            jax.ShapeDtypeStruct((b * groups, 1, tp), jnp.float32),
         ),
         interpret=interpret,
-    )(
-        qp.reshape(b * h, tp, d),
-        kp.reshape(b * h, tp, d),
-        vp.reshape(b * h, tp, d),
-        biasp[:, None, :],
-        gp.reshape(b * h, tp, d),
+    )(qp, kp, vp, biasp[:, None, :], gp)
+    d_bias = (
+        db.reshape(b, groups, tp)[:, :, :t].sum(axis=1).astype(bias.dtype)
     )
-    unpad = lambda x: x.reshape(b, h, tp, d)[:, :, :t]
-    d_bias = db.reshape(b, h, tp)[:, :, :t].sum(axis=1).astype(bias.dtype)
-    return unpad(dq), unpad(dk), unpad(dv), d_bias
+    return dq[:, :t], dk[:, :t], dv[:, :t], d_bias
 
 
 flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
