@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from vibertgrid_tpu.ops.flash_attention import flash_attention
 
 RNG = np.random.default_rng(11)
+SEED0 = jnp.zeros((), jnp.int32)
 
 
 def _inputs(b=2, h=3, t=200, d=32):
@@ -41,7 +42,7 @@ def _oracle(q, k, v, bias, sm_scale, h):
 def test_flash_attention_forward_matches_oracle():
     q, k, v, bias = _inputs()
     sm_scale = 1.0 / np.sqrt(32)
-    got = flash_attention(q, k, v, bias, sm_scale, 3, True)
+    got = flash_attention(q, k, v, bias, SEED0, sm_scale, 3, 0.0, True)
     want = _oracle(q, k, v, bias, sm_scale, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -49,7 +50,7 @@ def test_flash_attention_forward_matches_oracle():
 def test_flash_attention_forward_aligned_t_grouped_heads():
     # d=64, h=4 → two heads per program (lane-aligned packing)
     q, k, v, bias = _inputs(h=4, t=128, d=64)
-    got = flash_attention(q, k, v, bias, 0.125, 4, True)
+    got = flash_attention(q, k, v, bias, SEED0, 0.125, 4, 0.0, True)
     want = _oracle(q, k, v, bias, 0.125, 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -60,7 +61,7 @@ def test_flash_attention_grads_match_oracle():
     w = jnp.asarray(RNG.standard_normal((1, 96, 32)).astype(np.float32))
 
     def loss_flash(q, k, v, bias):
-        return jnp.sum(flash_attention(q, k, v, bias, sm_scale, 2, True) * w)
+        return jnp.sum(flash_attention(q, k, v, bias, SEED0, sm_scale, 2, 0.0, True) * w)
 
     def loss_oracle(q, k, v, bias):
         return jnp.sum(_oracle(q, k, v, bias, sm_scale, 2) * w)
@@ -93,3 +94,49 @@ def test_encoder_flash_switch_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), atol=3e-5
     )
+
+
+def test_flash_attention_dropout_deterministic_and_consistent():
+    """Same seed → identical output; fwd and bwd regenerate the same mask
+    (validated by finite differences through the custom VJP)."""
+    q, k, v, bias = _inputs(b=1, h=2, t=64, d=16)
+    seed = jnp.asarray(1234, jnp.int32)
+    rate = 0.5
+
+    out1 = flash_attention(q, k, v, bias, seed, 0.25, 2, rate, True)
+    out2 = flash_attention(q, k, v, bias, seed, 0.25, 2, rate, True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # a different seed must change the mask
+    out3 = flash_attention(q, k, v, bias, seed + 1, 0.25, 2, rate, True)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+    # finite differences: valid only if bwd reproduces the identical mask
+    w = jnp.asarray(RNG.standard_normal(out1.shape).astype(np.float32))
+
+    def loss(q):
+        return jnp.sum(flash_attention(q, k, v, bias, seed, 0.25, 2, rate, True) * w)
+
+    g = jax.grad(loss)(q)
+    eps = 1e-3
+    for idx in [(0, 3, 5), (0, 40, 17), (0, 63, 31)]:
+        dq = jnp.zeros_like(q).at[idx].set(eps)
+        fd = (loss(q + dq) - loss(q - dq)) / (2 * eps)
+        np.testing.assert_allclose(
+            float(g[idx]), float(fd), rtol=2e-2, atol=1e-3, err_msg=str(idx)
+        )
+
+
+def test_flash_attention_dropout_preserves_expectation():
+    """E[dropped attention] ≈ undropped (inverted-scale keep mask)."""
+    q, k, v, bias = _inputs(b=2, h=2, t=128, d=32)
+    base = flash_attention(q, k, v, bias, SEED0, 0.2, 2, 0.0, True)
+    acc = jnp.zeros_like(base)
+    n = 8
+    for i in range(n):
+        acc = acc + flash_attention(
+            q, k, v, bias, jnp.asarray(7 + i, jnp.int32), 0.2, 2, 0.25, True
+        )
+    mean = np.asarray(acc / n)
+    corr = np.corrcoef(mean.ravel(), np.asarray(base).ravel())[0, 1]
+    assert corr > 0.95, corr

@@ -98,22 +98,30 @@ class SelfAttention(nn.Module):
         v = dense("value")(hidden)
         b, t = hidden.shape[:2]
         use_flash = cfg.attention_impl == "flash" or (
-            cfg.attention_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and (deterministic or cfg.attention_dropout == 0.0)
+            cfg.attention_impl == "auto" and jax.default_backend() == "tpu"
         )
         if use_flash:
             # Packed-head fused kernel: consumes the projection outputs
             # [b, t, h·dh] directly, so no head transposes exist at all.
+            # Attention-prob dropout runs in-kernel off a per-step seed.
             from vibertgrid_tpu.ops.flash_attention import flash_attention
 
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                )
+            else:
+                seed = jnp.zeros((), jnp.int32)
             ctx = flash_attention(
                 q,
                 k,
                 v,
                 attn_bias[:, 0, 0, :],
+                seed,
                 1.0 / float(dh) ** 0.5,
                 h,
+                rate,
                 jax.default_backend() != "tpu",  # interpret off-TPU (tests)
             )
         else:

@@ -24,9 +24,15 @@ A custom VJP recomputes the probabilities in the backward kernel
 (flash-style rematerialisation — scores are never stored between fwd and
 bwd) and emits dQ/dK/dV plus the true mask-bias cotangent.
 
+Attention-probability dropout (the reference trains with rate 0.1 via HF's
+``attention_probs_dropout_prob``) runs **inside** the kernel from a
+stateless counter-based hash of (seed, program, head, element): the keep
+mask is never materialised in HBM, and the backward kernel reproduces the
+identical mask by construction (it hashes the same indices).
+
 The XLA einsum path in :mod:`vibertgrid_tpu.models.bert` remains the oracle
-in tests, the CPU fallback, and the path used when attention dropout is
-active or attention heads are tensor-parallel-sharded.
+in tests, the CPU fallback, and the path used when attention heads are
+tensor-parallel-sharded.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,9 +58,33 @@ def _heads_per_program(num_heads: int, d_head: int) -> int:
     return num_heads
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale, heads, d):
+def _dropout_mask(seed, salt, shape, rate):
+    """Keep-mask ⊙ 1/(1-rate), from a stateless splitmix32-style hash of
+    (seed, salt, element index).
+
+    Counter-based rather than the stateful per-core PRNG so that (a) the
+    backward kernel reproduces the identical mask by construction — it hashes
+    the same indices — and (b) the same code runs under interpret mode on CPU
+    (``pltpu.prng_seed`` has no CPU lowering)."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * jnp.uint32(shape[1]) + cols
+    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x ^ (jnp.uint32(salt) * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(int(rate * float(2**32)))
+    return jnp.where(x >= threshold, 1.0 / (1.0 - rate), 0.0)
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_ref, seed_ref, out_ref, *, sm_scale, heads, d, rate
+):
     """One (batch · head-group): for each packed head, softmax(qkᵀ+bias)v."""
     bias = bias_ref[0]  # [1, T]
+    seed = seed_ref[0, 0]
+    pid = pl.program_id(0)
     for g in range(heads):
         sl = slice(g * d, (g + 1) * d)
         q = q_ref[0][:, sl]  # [T, D]
@@ -69,6 +100,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, sm_scale, heads, d):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            p = p * _dropout_mask(seed + pid * heads + g, 1, p.shape, rate)
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         out_ref[0, :, sl] = out.astype(out_ref.dtype)
 
@@ -78,6 +111,7 @@ def _bwd_kernel(
     k_ref,
     v_ref,
     bias_ref,
+    seed_ref,
     do_ref,
     dq_ref,
     dk_ref,
@@ -87,10 +121,14 @@ def _bwd_kernel(
     sm_scale,
     heads,
     d,
+    rate,
 ):
-    """One (batch · head-group): rematerialise p, then dq/dk/dv/d_bias."""
+    """One (batch · head-group): rematerialise p (and the identical dropout
+    mask — same seed, same draw order), then dq/dk/dv/d_bias."""
     bias = bias_ref[0]
     db_acc = jnp.zeros_like(bias)
+    seed = seed_ref[0, 0]
+    pid = pl.program_id(0)
     for g in range(heads):
         sl = slice(g * d, (g + 1) * d)
         q = q_ref[0][:, sl]
@@ -107,14 +145,22 @@ def _bwd_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, T] fp32
+        if rate > 0.0:
+            keep = _dropout_mask(seed + pid * heads + g, 1, p.shape, rate)
+            p_dropped = p * keep
+        else:
+            p_dropped = p
 
-        # softmax VJP: ds = p ⊙ (dp − rowsum(dp ⊙ p))
+        # out = P̃ v with P̃ = keep ⊙ p: dv uses P̃, softmax VJP uses
+        # dp = keep ⊙ (do vᵀ); then ds = p ⊙ (dp − rowsum(dp ⊙ p)).
         dp = jax.lax.dot_general(
             do,
             v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if rate > 0.0:
+            dp = dp * keep
         delta = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = p * (dp - delta)  # fp32 [T, T]
 
@@ -132,7 +178,7 @@ def _bwd_kernel(
             * sm_scale
         ).astype(dk_ref.dtype)
         dv_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(do.dtype),
+            p_dropped.astype(do.dtype),
             do,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -168,15 +214,19 @@ def _specs(groups_per_batch, tp, width):
     return qkv_spec, bias_spec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention(q, k, v, bias, sm_scale, num_heads, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention(q, k, v, bias, seed, sm_scale, num_heads, rate=0.0,
+                    interpret=False):
     """Fused multi-head attention on packed heads.
 
     q/k/v: ``[B, T, H·D]`` (projection-matmul layout — no head transpose);
     bias: ``[B, T]`` additive fp32 key mask (0 or −1e9), broadcast over heads
-    and queries. Returns ``[B, T, H·D]`` in q's dtype.
+    and queries; seed: ``[]``/``[1,1]`` int32 PRNG seed for attention-prob
+    dropout (ignored when ``rate == 0``). ``rate`` is the static dropout
+    rate. Returns ``[B, T, H·D]`` in q's dtype.
     """
-    out, _ = _flash_attention_fwd(q, k, v, bias, sm_scale, num_heads, interpret)
+    out, _ = _flash_attention_fwd(q, k, v, bias, seed, sm_scale, num_heads,
+                                  rate, interpret)
     return out
 
 
@@ -189,28 +239,37 @@ def _call_geometry(q, num_heads):
     return b, t, m, d, g, tp
 
 
-def _flash_attention_fwd(q, k, v, bias, sm_scale, num_heads, interpret):
+def _seed_spec():
+    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _flash_attention_fwd(q, k, v, bias, seed, sm_scale, num_heads, rate,
+                         interpret):
     b, t, m, d, g, tp = _call_geometry(q, num_heads)
     groups = num_heads // g
     qp = _pad_t(q, tp)
     kp = _pad_t(k, tp)
     vp = _pad_t(v, tp)
     biasp = _pad_t(bias.astype(jnp.float32), tp, -1e9)
+    seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     qkv_spec, bias_spec = _specs(groups, tp, g * d)
-    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale, heads=g, d=d)
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, heads=g, d=d, rate=rate
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b * groups,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, _seed_spec()],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((b, tp, m), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, biasp[:, None, :])
-    return out[:, :t], (q, k, v, bias)
+    )(qp, kp, vp, biasp[:, None, :], seed2d)
+    return out[:, :t], (q, k, v, bias, seed)
 
 
-def _flash_attention_bwd(sm_scale, num_heads, interpret, residuals, grad):
-    q, k, v, bias = residuals
+def _flash_attention_bwd(sm_scale, num_heads, rate, interpret, residuals,
+                         grad):
+    q, k, v, bias, seed = residuals
     b, t, m, d, g, tp = _call_geometry(q, num_heads)
     groups = num_heads // g
     qp = _pad_t(q, tp)
@@ -218,15 +277,19 @@ def _flash_attention_bwd(sm_scale, num_heads, interpret, residuals, grad):
     vp = _pad_t(v, tp)
     gp = _pad_t(grad, tp)
     biasp = _pad_t(bias.astype(jnp.float32), tp, -1e9)
+    seed2d = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     qkv_spec, bias_spec = _specs(groups, tp, g * d)
     db_spec = pl.BlockSpec(
         (1, 1, tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale, heads=g, d=d)
+    kernel = functools.partial(
+        _bwd_kernel, sm_scale=sm_scale, heads=g, d=d, rate=rate
+    )
     dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid=(b * groups,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, _seed_spec(),
+                  qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec, db_spec),
         out_shape=(
             jax.ShapeDtypeStruct((b, tp, m), q.dtype),
@@ -235,11 +298,12 @@ def _flash_attention_bwd(sm_scale, num_heads, interpret, residuals, grad):
             jax.ShapeDtypeStruct((b * groups, 1, tp), jnp.float32),
         ),
         interpret=interpret,
-    )(qp, kp, vp, biasp[:, None, :], gp)
+    )(qp, kp, vp, biasp[:, None, :], seed2d, gp)
     d_bias = (
         db.reshape(b, groups, tp)[:, :, :t].sum(axis=1).astype(bias.dtype)
     )
-    return dq[:, :t], dk[:, :t], dv[:, :t], d_bias
+    d_seed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return dq[:, :t], dk[:, :t], dv[:, :t], d_bias, d_seed
 
 
 flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
