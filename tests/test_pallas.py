@@ -48,3 +48,34 @@ def test_pallas_scatter_overlap_later_wins():
     assert got[5, 5, 0] == 2.0  # overlap region → later box
     assert got[1, 1, 0] == 1.0
     assert got[14, 14, 0] == 0.0
+
+
+def test_pallas_scatter_vmap_grad_matches_xla():
+    """Batched (vmap) kernel + custom transposed-gather VJP vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+    from vibertgrid_tpu.ops.rasterize import bertgrid_scatter
+
+    b, s, d, hh, ww = 3, 19, 16, 32, 24
+    emb = jnp.asarray(RNG.standard_normal((b, s, d)), jnp.float32)
+    x0 = RNG.integers(0, 150, (b, s))
+    y0 = RNG.integers(0, 200, (b, s))
+    boxes = jnp.asarray(np.stack([x0, y0, x0 + 40, y0 + 24], -1), jnp.int32)
+    mask = jnp.asarray(RNG.random((b, s)) > 0.2)
+
+    f_p = jax.vmap(
+        lambda e, bx, m: bertgrid_scatter_pallas(
+            e, bx, m, height=hh, width=ww, stride=8, tile_h=8, interpret=True
+        )
+    )
+    f_x = jax.vmap(
+        lambda e, bx, m: bertgrid_scatter(e, bx, m, height=hh, width=ww, stride=8)
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_p(emb, boxes, mask)), np.asarray(f_x(emb, boxes, mask)),
+        rtol=1e-6,
+    )
+    w = jnp.asarray(RNG.standard_normal((b, hh, ww, d)), jnp.float32)
+    gp = jax.grad(lambda e: jnp.sum(f_p(e, boxes, mask) * w))(emb)
+    gx = jax.grad(lambda e: jnp.sum(f_x(e, boxes, mask) * w))(emb)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-6)

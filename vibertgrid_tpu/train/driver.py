@@ -144,6 +144,12 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         )
 
     tokenizer = build_tokenizer(hyp)
+    if hyp.get("mesh_model", 1) > 1 and hyp.get("attention_impl", "auto") == "auto":
+        # Head-sharded tensor parallelism: GSPMD cannot partition a
+        # pallas_call, so the fused attention kernel would force all-gathers
+        # of the head-sharded activations. Keep the einsum path, which GSPMD
+        # partitions along heads for free.
+        hyp = dict(hyp, attention_impl="xla")
     spec, cfg, model, transform, collator, tag_to_idx = build_all(
         hyp, dataset, tokenizer, spec
     )
