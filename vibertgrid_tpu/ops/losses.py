@@ -36,14 +36,22 @@ import jax.numpy as jnp
 
 
 def _ce_per_example(logits, targets, weight=None):
-    """Per-example weighted cross entropy (torch ``reduction='none'``)."""
-    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
-    gold = jnp.take_along_axis(
-        logits.astype(jnp.float32), targets[:, None].astype(jnp.int32), axis=-1
-    )[:, 0]
+    """Per-example weighted cross entropy (torch ``reduction='none'``).
+
+    The gold-logit pick and the class-weight lookup are one-hot selects, not
+    gathers: the seg-head calls this over full-resolution maps (1.5M pixels
+    at bench shapes) and a [1.5M]-element gather costs ~22 ms on v5e while
+    the onehot·reduce fuses into the surrounding elementwise code for free.
+    """
+    logits = logits.astype(jnp.float32)
+    c = logits.shape[-1]
+    onehot = targets[:, None].astype(jnp.int32) == jnp.arange(c)[None, :]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
     loss = logz - gold
     if weight is not None:
-        loss = loss * jnp.take(jnp.asarray(weight, jnp.float32), targets, axis=0)
+        w = jnp.asarray(weight, jnp.float32)
+        loss = loss * jnp.sum(jnp.where(onehot, w[None, :], 0.0), axis=-1)
     return loss
 
 
@@ -108,11 +116,13 @@ def cross_entropy_ohem(
     if num_hard_positive == -1 and num_hard_negative == -1:
         if weight is not None:
             # torch mean of weighted CE divides by the summed weights.
-            wsum = jnp.sum(
-                jnp.where(
-                    valid, jnp.take(jnp.asarray(weight, jnp.float32), targets), 0.0
-                )
-            )
+            # One-hot select, not a gather (see _ce_per_example).
+            w = jnp.asarray(weight, jnp.float32)
+            onehot = targets[:, None].astype(jnp.int32) == jnp.arange(
+                w.shape[0]
+            )[None, :]
+            per_w = jnp.sum(jnp.where(onehot, w[None, :], 0.0), axis=-1)
+            wsum = jnp.sum(jnp.where(valid, per_w, 0.0))
             return jnp.sum(jnp.where(valid, losses, 0.0)) / jnp.maximum(wsum, 1e-12)
         n = jnp.sum(valid.astype(jnp.float32))
         return jnp.sum(jnp.where(valid, losses, 0.0)) / jnp.maximum(n, 1.0)
