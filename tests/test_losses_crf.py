@@ -241,3 +241,72 @@ class TestCRF:
     def test_constraints(self):
         assert np.all(self.trans[self.k - 2, :] == NEG)
         assert np.all(self.trans[:, self.k - 1] == NEG)
+
+
+class TestMaskedTopkSum:
+    """Sortless threshold top-k vs a lax.top_k oracle, including ties."""
+
+    def _oracle(self, losses, mask, k):
+        import jax
+        vals = jnp.where(jnp.asarray(mask), jnp.asarray(losses), -jnp.inf).reshape(-1)
+        topv, _ = jax.lax.top_k(vals, min(k, vals.size))
+        finite = jnp.isfinite(topv)
+        return float(jnp.sum(jnp.where(finite, topv, 0.0)))
+
+    def test_matches_topk_with_ties(self):
+        from vibertgrid_tpu.ops.losses import _masked_topk_sum
+
+        rng = np.random.default_rng(0)
+        for trial in range(6):
+            n = 257
+            # quantize to force duplicate values straddling the threshold
+            losses = np.round(rng.standard_normal(n) * 4) / 4
+            mask = rng.random(n) > 0.3
+            for k in (1, 7, 64, 300):
+                got, kept = _masked_topk_sum(
+                    jnp.asarray(losses, jnp.float32), jnp.asarray(mask), k
+                )
+                want = self._oracle(losses.astype(np.float32), mask, k)
+                assert abs(float(got) - want) < 1e-4, (trial, k, float(got), want)
+                assert int(kept) == min(k, int(mask.sum()))
+
+    def test_empty_mask_and_negatives(self):
+        from vibertgrid_tpu.ops.losses import _masked_topk_sum
+
+        losses = jnp.asarray([-3.0, -1.5, -0.0, 2.0], jnp.float32)
+        got, kept = _masked_topk_sum(losses, jnp.zeros(4, bool), 2)
+        assert float(got) == 0.0 and int(kept) == 0
+        got, kept = _masked_topk_sum(losses, jnp.ones(4, bool), 2)
+        assert abs(float(got) - 2.0) < 1e-6 and int(kept) == 2  # 2.0 + (-0.0)
+        got, kept = _masked_topk_sum(losses, jnp.ones(4, bool), 10)
+        assert abs(float(got) - (-2.5)) < 1e-6 and int(kept) == 4
+
+
+class TestRandomSubsampleMask:
+    def test_exact_count_and_subset(self):
+        import jax
+        from vibertgrid_tpu.ops.losses import _random_subsample_mask
+
+        rng = np.random.default_rng(1)
+        mask = jnp.asarray(rng.random(1000) > 0.4)
+        for limit in (1, 50, 400, 2000):
+            out = _random_subsample_mask(mask, limit, jax.random.PRNGKey(7))
+            out = np.asarray(out)
+            assert out.sum() == min(limit, int(np.asarray(mask).sum()))
+            assert not np.any(out & ~np.asarray(mask))
+
+    def test_uniformity(self):
+        """Each masked element selected with ≈ limit/n probability."""
+        import jax
+        from vibertgrid_tpu.ops.losses import _random_subsample_mask
+
+        mask = jnp.ones(200, bool)
+        counts = np.zeros(200)
+        trials = 300
+        for i in range(trials):
+            counts += np.asarray(
+                _random_subsample_mask(mask, 50, jax.random.PRNGKey(i))
+            )
+        p = counts / trials  # expect 0.25
+        assert abs(p.mean() - 0.25) < 1e-9  # exact count each trial
+        assert p.std() < 0.06, p.std()  # no element strongly favoured
