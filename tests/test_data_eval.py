@@ -169,3 +169,39 @@ class TestSroieFilter:
 
     def test_passthrough(self):
         assert sroie_result_filter("ACME CORP", 1) == "ACME CORP"
+
+
+def test_data_loader_num_workers_matches_serial(synth):
+    """Thread-pool sample loading yields identical batches to the serial path."""
+    root, tokenizer = synth
+    from vibertgrid_tpu.data import Collator, ImageTransform, KIEDataset, data_loader
+    from vibertgrid_tpu.data.synthetic import synthetic_spec
+
+    ds = KIEDataset(f"{root}/train", synthetic_spec(), tokenizer, train=True)
+    tr = ImageTransform([0.9] * 3, [0.15] * 3, [256], 256, 400)
+    col = Collator(tr)
+    serial = list(data_loader(ds, col, 2, train=True, seed=3))
+    threaded = list(data_loader(ds, col, 2, train=True, seed=3, num_workers=4))
+    assert len(serial) == len(threaded)
+    for (b1, _), (b2, _) in zip(serial, threaded):
+        np.testing.assert_array_equal(np.asarray(b1.tokens), np.asarray(b2.tokens))
+        np.testing.assert_array_equal(np.asarray(b1.images), np.asarray(b2.images))
+
+
+def test_prefetch_to_device_order_and_errors():
+    from vibertgrid_tpu.data import prefetch_to_device
+
+    items = [(i, {"aux": i}) for i in range(7)]
+    out = list(prefetch_to_device(iter(items), size=2, put=False))
+    assert out == items
+
+    def boom():
+        yield (0, None)
+        raise RuntimeError("producer failed")
+
+    it = prefetch_to_device(boom(), put=False)
+    assert next(it) == (0, None)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)

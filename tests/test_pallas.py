@@ -79,3 +79,26 @@ def test_pallas_scatter_vmap_grad_matches_xla():
     gp = jax.grad(lambda e: jnp.sum(f_p(e, boxes, mask) * w))(emb)
     gx = jax.grad(lambda e: jnp.sum(f_x(e, boxes, mask) * w))(emb)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=2e-6)
+
+
+def test_pallas_scatter_non_tile_aligned_height():
+    """Grid heights not divisible by the default row tile (e.g. small
+    synthetic images → height 28) must still work via gcd tiling."""
+    import jax.numpy as jnp
+    from vibertgrid_tpu.ops.rasterize import bertgrid_scatter
+
+    h, w, s, d = 28, 36, 9, 8
+    x0 = RNG.integers(0, w * 8 - 16, s)
+    y0 = RNG.integers(0, h * 8 - 16, s)
+    boxes = np.stack([x0, y0, x0 + 12, y0 + 10], 1).astype(np.int32)
+    mask = np.ones(s, bool)
+    emb = RNG.standard_normal((s, d)).astype(np.float32)
+    got = bertgrid_scatter_pallas(
+        jnp.asarray(emb), jnp.asarray(boxes), jnp.asarray(mask),
+        height=h, width=w, stride=8, interpret=True,
+    )
+    want = bertgrid_scatter(
+        jnp.asarray(emb), jnp.asarray(boxes), jnp.asarray(mask),
+        height=h, width=w, stride=8,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

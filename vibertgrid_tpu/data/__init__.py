@@ -19,5 +19,6 @@ from vibertgrid_tpu.data.dataset import (  # noqa: F401
     Collator,
     EvalAux,
     data_loader,
+    prefetch_to_device,
 )
 from vibertgrid_tpu.data.synthetic import make_synthetic_root  # noqa: F401

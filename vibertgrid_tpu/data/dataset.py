@@ -252,10 +252,16 @@ def data_loader(
     seed: int = 0,
     shard: tuple[int, int] = (0, 1),
     drop_last: bool | None = None,
+    num_workers: int = 0,
 ) -> Iterator:
     """Simple epoch iterator with shuffling and process sharding — the
     DistributedSampler + BatchSampler(drop_last) equivalent
-    (``data/SROIE_dataset.py:314-333``)."""
+    (``data/SROIE_dataset.py:314-333``).
+
+    ``num_workers > 0`` loads the samples of each batch through a thread
+    pool (the torch ``DataLoader(num_workers=...)`` equivalent; threads
+    suffice because PIL decode and the native resize release the GIL).
+    """
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if train:
@@ -265,9 +271,66 @@ def data_loader(
     if drop_last is None:
         drop_last = train
     end = (len(order) // batch_size) * batch_size if drop_last else len(order)
-    for i in range(0, end, batch_size):
-        idx = order[i : i + batch_size]
-        if not len(idx):
-            continue
-        samples = [dataset[j] for j in idx]
-        yield collator(samples, train, rng)
+
+    pool = None
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        for i in range(0, end, batch_size):
+            idx = order[i : i + batch_size]
+            if not len(idx):
+                continue
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, idx))
+            else:
+                samples = [dataset[j] for j in idx]
+            yield collator(samples, train, rng)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+
+def prefetch_to_device(iterator: Iterator, size: int = 2, put: bool = True) -> Iterator:
+    """Run ``iterator`` in a background thread, ``jax.device_put`` the batch
+    leg of each ``(batch, aux)`` item there, and hand over through a bounded
+    queue — so host-side decode/collation and the H2D copy overlap with the
+    device step instead of serialising after it.
+
+    ``put=False`` skips the device_put (use when the producer already places
+    arrays, e.g. via ``shard_batch``) — the background thread then only
+    overlaps host work.
+    """
+    import queue
+    import threading
+
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                if not put:
+                    q.put(item)
+                elif isinstance(item, tuple) and len(item) == 2:
+                    batch, aux = item
+                    q.put((jax.device_put(batch), aux))
+                else:
+                    q.put(jax.device_put(item))
+        except BaseException as exc:  # propagate into the consumer
+            q.put((sentinel, exc))
+            return
+        q.put((sentinel, None))
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

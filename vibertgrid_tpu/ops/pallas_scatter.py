@@ -28,6 +28,7 @@ test oracle). ``interpret=True`` runs anywhere.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -140,8 +141,9 @@ def _scatter_fwd(
     embeddings, boxes, box_mask, height, width, stride, tile_h, interpret
 ):
     s, d = embeddings.shape
-    tile_h = min(tile_h, height)
-    assert height % tile_h == 0, (height, tile_h)
+    # largest row-tile dividing the grid height (images are padded /32, so
+    # height is always /4 and tile_h*width stays sublane-aligned)
+    tile_h = math.gcd(min(tile_h, height), height)
     emb0, boxes_t, mask2d = _scatter_prep(embeddings, boxes, box_mask, stride)
     out = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, width=width),
@@ -165,7 +167,7 @@ def _scatter_bwd(height, width, stride, tile_h, interpret, residuals, g):
 
     embeddings, boxes, box_mask = residuals
     s, d = embeddings.shape
-    tile_h = min(tile_h, height)
+    tile_h = math.gcd(min(tile_h, height), height)
     _, boxes_t, mask2d = _scatter_prep(embeddings, boxes, box_mask, stride)
     demb0 = pl.pallas_call(
         functools.partial(_bwd_kernel, tile_h=tile_h, width=width),

@@ -37,6 +37,7 @@ from vibertgrid_tpu.data import (
     KIEDataset,
     data_loader,
     get_spec,
+    prefetch_to_device,
 )
 from vibertgrid_tpu.eval.harness import validate
 from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
@@ -233,10 +234,20 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     for epoch in range(start_epoch, end_epoch):
         t_ep = time.time()
         epoch_losses = []
-        for batch, _aux in data_loader(
-            train_ds, collator, batch_size, train=True, seed=epoch
-        ):
-            batch = shard_batch(batch, mesh)
+        epoch_iter = (
+            (shard_batch(b, mesh), aux)
+            for b, aux in data_loader(
+                train_ds,
+                collator,
+                batch_size,
+                train=True,
+                seed=epoch,
+                num_workers=hyp.get("num_workers", 0),
+            )
+        )
+        # Background prefetch: decode/collation + H2D overlap the device step
+        # (the reference's DataLoader(num_workers) + pin_memory equivalent).
+        for batch, _aux in prefetch_to_device(epoch_iter, put=False):
             state, loss = train_step(state, batch, key)
             epoch_losses.append(loss)
             steps_done += 1
