@@ -1,0 +1,165 @@
+"""Compiled-on-TPU kernel smoke checks.
+
+The pytest suite runs on a virtual CPU mesh (tests/conftest.py), where Pallas
+kernels execute in interpret mode — Mosaic lowering failures and layout bugs
+only surface compiled on real hardware (we shipped one: a 2D→1D in-kernel
+reshape that interpret mode accepted and Mosaic rejected). Run this on a TPU
+host after touching any kernel:
+
+    python tools/tpu_smoke.py
+
+Exits non-zero on the first failed check.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def check(name: str, ok: bool, detail: str = ""):
+    status = "ok" if ok else "FAIL"
+    print(f"[{status}] {name} {detail}")
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"needs a TPU backend, got {jax.default_backend()}"
+    )
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    rng = np.random.default_rng(0)
+
+    # --- flash attention: compiled vs einsum oracle, odd T, masked bias ---
+    from vibertgrid_tpu.ops.flash_attention import flash_attention
+
+    b, t, hd, h = 2, 510, 768, 12
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, t, hd)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    mask = rng.random((b, t)) > 0.2
+    bias = jnp.asarray(np.where(mask, 0.0, -1e9), jnp.float32)
+    seed0 = jnp.zeros((), jnp.int32)
+    got = flash_attention(q, k, v, bias, seed0, 0.125, h, 0.0, False)
+    qh, kh, vh = (x.reshape(b, t, h, 64).transpose(0, 2, 1, 3) for x in (q, k, v))
+    s = (
+        jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+        * 0.125
+        + bias[:, None, None, :]
+    )
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    want = (
+        jnp.einsum("bhqk,bhkd->bhqd", p, vh).transpose(0, 2, 1, 3).reshape(b, t, hd)
+    )
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+    check("flash_attention fwd vs einsum", err < 3e-3, f"max err {err:.2e}")
+
+    g = jax.grad(
+        lambda q: jnp.sum(
+            flash_attention(q, k, v, bias, seed0, 0.125, h, 0.0, False).astype(
+                jnp.float32
+            )
+        )
+    )(q)
+    check(
+        "flash_attention grad finite",
+        bool(jnp.all(jnp.isfinite(g.astype(jnp.float32)))),
+    )
+
+    seed = jnp.asarray(7, jnp.int32)
+    d1 = flash_attention(q, k, v, bias, seed, 0.125, h, 0.1, False)
+    d2 = flash_attention(q, k, v, bias, seed, 0.125, h, 0.1, False)
+    d3 = flash_attention(q, k, v, bias, seed + 1, 0.125, h, 0.1, False)
+    check(
+        "in-kernel dropout deterministic per seed",
+        bool(jnp.all(d1 == d2)) and not bool(jnp.all(d1 == d3)),
+    )
+
+    # --- pallas scatter: compiled, batched, grads, non-aligned height ---
+    from vibertgrid_tpu.ops.pallas_scatter import bertgrid_scatter_pallas
+    from vibertgrid_tpu.ops.rasterize import bertgrid_scatter
+
+    for hh, ww in ((64, 48), (56, 28)):
+        S, D = 128, 768
+        emb = jnp.asarray(rng.standard_normal((4, S, D)), jnp.bfloat16)
+        x0 = rng.integers(0, ww * 8 - 32, (4, S))
+        y0 = rng.integers(0, hh * 8 - 16, (4, S))
+        boxes = jnp.asarray(np.stack([x0, y0, x0 + 30, y0 + 14], -1), jnp.int32)
+        bmask = jnp.asarray(rng.random((4, S)) > 0.1)
+        f_p = jax.jit(
+            jax.vmap(
+                lambda e, bx, m: bertgrid_scatter_pallas(
+                    e, bx, m, height=hh, width=ww, stride=8
+                )
+            )
+        )
+        f_x = jax.jit(
+            jax.vmap(
+                lambda e, bx, m: bertgrid_scatter(
+                    e, bx, m, height=hh, width=ww, stride=8
+                )
+            )
+        )
+        df = float(
+            jnp.max(
+                jnp.abs(
+                    f_p(emb, boxes, bmask).astype(jnp.float32)
+                    - f_x(emb, boxes, bmask).astype(jnp.float32)
+                )
+            )
+        )
+        check(f"pallas scatter fwd {hh}x{ww}", df == 0.0, f"max err {df}")
+        gp = jax.jit(
+            jax.grad(lambda e: jnp.sum(f_p(e, boxes, bmask).astype(jnp.float32)))
+        )(emb)
+        gx = jax.jit(
+            jax.grad(lambda e: jnp.sum(f_x(e, boxes, bmask).astype(jnp.float32)))
+        )(emb)
+        dg = float(
+            jnp.max(jnp.abs(gp.astype(jnp.float32) - gx.astype(jnp.float32)))
+        )
+        check(f"pallas scatter grad {hh}x{ww}", dg == 0.0, f"max err {dg}")
+
+    # --- sortless OHEM selection at full pixel scale, with forced ties ---
+    from vibertgrid_tpu.ops.losses import _masked_topk_sum
+
+    n = 8 * 512 * 384
+    losses = jnp.asarray(np.round(rng.standard_normal(n) * 8) / 8, jnp.float32)
+    lmask = jnp.asarray(rng.random(n) > 0.3)
+    for kk in (256, 512):
+        got_s, kept = jax.jit(_masked_topk_sum, static_argnums=2)(losses, lmask, kk)
+        want_s = jnp.sum(
+            jax.lax.top_k(jnp.where(lmask, losses, -jnp.inf), kk)[0]
+        )
+        check(
+            f"sortless top-{kk} sum",
+            abs(float(got_s) - float(want_s)) < 1e-3,
+            f"{float(got_s):.4f} vs {float(want_s):.4f}",
+        )
+
+    # --- flagship entry forward ---
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, (variables, batch) = entry()
+    out = jax.jit(fn)(variables, batch)
+    check(
+        "entry() forward",
+        bool(jnp.all(jnp.isfinite(out.astype(jnp.float32)))),
+        f"shape {out.shape}",
+    )
+    print("all TPU smoke checks passed")
+
+
+if __name__ == "__main__":
+    main()
