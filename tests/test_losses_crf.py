@@ -310,3 +310,24 @@ class TestRandomSubsampleMask:
         p = counts / trials  # expect 0.25
         assert abs(p.mean() - 0.25) < 1e-9  # exact count each trial
         assert p.std() < 0.06, p.std()  # no element strongly favoured
+
+    def test_gradient_flows_to_threshold_ties(self):
+        """The tie contribution must carry gradient (the aux losses run over
+        4x-upsampled maps where equal values are pervasive): d/dx of the
+        top-k sum distributes over tied elements instead of vanishing."""
+        import jax
+        from vibertgrid_tpu.ops.losses import _masked_topk_sum
+
+        losses = jnp.asarray([2.0, 2.0, 2.0, 2.0, 1.0], jnp.float32)
+        mask = jnp.ones(5, bool)
+        g = jax.grad(lambda l: _masked_topk_sum(l, mask, 3)[0])(losses)
+        g = np.asarray(g)
+        # four ties at the threshold, three taken → 3/4 weight each
+        np.testing.assert_allclose(g[:4], 0.75, rtol=1e-6)
+        assert g[4] == 0.0
+        # distinct values: every kept element gets gradient 1
+        losses2 = jnp.asarray([4.0, 3.0, 1.0, 2.0], jnp.float32)
+        g2 = np.asarray(
+            jax.grad(lambda l: _masked_topk_sum(l, jnp.ones(4, bool), 2)[0])(losses2)
+        )
+        np.testing.assert_allclose(g2, [1.0, 1.0, 0.0, 0.0], atol=1e-6)

@@ -259,8 +259,10 @@ def data_loader(
     (``data/SROIE_dataset.py:314-333``).
 
     ``num_workers > 0`` loads the samples of each batch through a thread
-    pool (the torch ``DataLoader(num_workers=...)`` equivalent; threads
-    suffice because PIL decode and the native resize release the GIL).
+    pool (the torch ``DataLoader(num_workers=...)`` analogue). Threads
+    parallelize the GIL-releasing parts of ``__getitem__`` — PIL decode and
+    CSV IO; pure-Python tokenization still serializes on the GIL, so for
+    text-dense corpora pair this with a fast (Rust) tokenizer.
     """
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
@@ -309,28 +311,50 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, put: bool = True) -> I
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
+
+    def _put(obj):
+        # bounded put that gives up when the consumer is gone, so an early
+        # break out of the training loop can't leave this thread blocked
+        # forever holding device batches (and the upstream loader's pool).
+        while not stop.is_set():
+            try:
+                q.put(obj, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
                 if not put:
-                    q.put(item)
+                    out = item
                 elif isinstance(item, tuple) and len(item) == 2:
                     batch, aux = item
-                    q.put((jax.device_put(batch), aux))
+                    out = (jax.device_put(batch), aux)
                 else:
-                    q.put(jax.device_put(item))
+                    out = jax.device_put(item)
+                if not _put(out):
+                    return
         except BaseException as exc:  # propagate into the consumer
-            q.put((sentinel, exc))
+            _put((sentinel, exc))
             return
-        q.put((sentinel, None))
+        _put((sentinel, None))
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is sentinel:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if (
+                isinstance(item, tuple)
+                and len(item) == 2
+                and item[0] is sentinel
+            ):
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()

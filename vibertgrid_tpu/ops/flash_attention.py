@@ -58,9 +58,9 @@ def _heads_per_program(num_heads: int, d_head: int) -> int:
     return num_heads
 
 
-def _dropout_mask(seed, salt, shape, rate):
+def _dropout_mask(seed, shape, rate):
     """Keep-mask ⊙ 1/(1-rate), from a stateless splitmix32-style hash of
-    (seed, salt, element index).
+    (seed, element index). Callers fold program/head ids into ``seed``.
 
     Counter-based rather than the stateful per-core PRNG so that (a) the
     backward kernel reproduces the identical mask by construction — it hashes
@@ -70,7 +70,6 @@ def _dropout_mask(seed, salt, shape, rate):
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = rows * jnp.uint32(shape[1]) + cols
     x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = x ^ (jnp.uint32(salt) * jnp.uint32(0x85EBCA6B))
     x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
     x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
@@ -101,7 +100,7 @@ def _fwd_kernel(
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         if rate > 0.0:
-            p = p * _dropout_mask(seed + pid * heads + g, 1, p.shape, rate)
+            p = p * _dropout_mask(seed + pid * heads + g, p.shape, rate)
         out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         out_ref[0, :, sl] = out.astype(out_ref.dtype)
 
@@ -146,7 +145,7 @@ def _bwd_kernel(
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, T] fp32
         if rate > 0.0:
-            keep = _dropout_mask(seed + pid * heads + g, 1, p.shape, rate)
+            keep = _dropout_mask(seed + pid * heads + g, p.shape, rate)
             p_dropped = p * keep
         else:
             p_dropped = p

@@ -44,15 +44,21 @@ def _ce_per_example(logits, targets, weight=None):
     the onehot·reduce fuses into the surrounding elementwise code for free.
     """
     logits = logits.astype(jnp.float32)
-    c = logits.shape[-1]
-    onehot = targets[:, None].astype(jnp.int32) == jnp.arange(c)[None, :]
+    onehot = _onehot(targets, logits.shape[-1])
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
     loss = logz - gold
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)
-        loss = loss * jnp.sum(jnp.where(onehot, w[None, :], 0.0), axis=-1)
+        loss = loss * _per_example_weight(targets, weight)
     return loss
+
+
+def _per_example_weight(targets, weight):
+    """Class weight per example, as a one-hot select (no gather)."""
+    w = jnp.asarray(weight, jnp.float32)
+    return jnp.sum(
+        jnp.where(_onehot(targets, w.shape[0]), w[None, :], 0.0), axis=-1
+    )
 
 
 def _bce_per_example(logits, targets):
@@ -70,11 +76,9 @@ def _sortable_key(x):
     return jnp.where(x >= 0, b | jnp.uint32(0x80000000), ~b)
 
 
-def _key_to_float(t):
-    """Inverse of :func:`_sortable_key`."""
-    as_pos = jax.lax.bitcast_convert_type(t & jnp.uint32(0x7FFFFFFF), jnp.float32)
-    as_neg = jax.lax.bitcast_convert_type(~t, jnp.float32)
-    return jnp.where(t & jnp.uint32(0x80000000), as_pos, as_neg)
+def _onehot(targets, num_classes):
+    """[N, C] bool one-hot of integer targets (gather-free select matrix)."""
+    return targets[:, None].astype(jnp.int32) == jnp.arange(num_classes)[None, :]
 
 
 def _masked_topk_sum(losses, mask, k):
@@ -110,12 +114,21 @@ def _masked_topk_sum(losses, mask, k):
     cnt_above = jnp.sum(above.astype(jnp.int32))
     total_above = jnp.sum(jnp.where(above.reshape(mask.shape), losses, 0.0))
     kept = jnp.minimum(k, n)
-    n_ties = jnp.maximum(kept - cnt_above, 0)
-    tie_val = _key_to_float(t)  # NaN only when t == 0, where n_ties == 0
-    return (
-        total_above + jnp.where(n_ties > 0, n_ties * tie_val, 0.0),
-        kept,
+    # Threshold ties: n_take of them belong to the top-k. Express their
+    # contribution through the loss VALUES (n_take/n_ties · Σ tied losses —
+    # identical since ties are equal-valued) so gradients flow to every tied
+    # element. A bit-decoded `n_take · value(t)` would be correct in value
+    # but carry ZERO gradient, and ties are pervasive here: the aux losses
+    # run over 4×-nearest-upsampled logit maps where every value repeats
+    # across 4×4 pixel blocks.
+    ties = (keys == t).reshape(mask.shape) & mask & (t > 0)
+    cnt_ties = jnp.sum(ties.astype(jnp.int32))
+    sum_ties = jnp.sum(jnp.where(ties, losses, 0.0))
+    n_take = jnp.maximum(kept - cnt_above, 0)
+    frac = n_take.astype(jnp.float32) / jnp.maximum(cnt_ties, 1).astype(
+        jnp.float32
     )
+    return total_above + frac * sum_ties, kept
 
 
 def _random_subsample_mask(mask, limit, key):
@@ -168,13 +181,9 @@ def cross_entropy_ohem(
     if num_hard_positive == -1 and num_hard_negative == -1:
         if weight is not None:
             # torch mean of weighted CE divides by the summed weights.
-            # One-hot select, not a gather (see _ce_per_example).
-            w = jnp.asarray(weight, jnp.float32)
-            onehot = targets[:, None].astype(jnp.int32) == jnp.arange(
-                w.shape[0]
-            )[None, :]
-            per_w = jnp.sum(jnp.where(onehot, w[None, :], 0.0), axis=-1)
-            wsum = jnp.sum(jnp.where(valid, per_w, 0.0))
+            wsum = jnp.sum(
+                jnp.where(valid, _per_example_weight(targets, weight), 0.0)
+            )
             return jnp.sum(jnp.where(valid, losses, 0.0)) / jnp.maximum(wsum, 1e-12)
         n = jnp.sum(valid.astype(jnp.float32))
         return jnp.sum(jnp.where(valid, losses, 0.0)) / jnp.maximum(n, 1.0)

@@ -182,11 +182,13 @@ def _scatter_bwd(height, width, stride, tile_h, interpret, residuals, g):
         out_specs=pl.BlockSpec(
             (s + 1, d), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((s + 1, d), embeddings.dtype),
+        # accumulate across row-tiles in fp32 (bf16 += would round each
+        # tile's contribution to 8 mantissa bits), cast once at the end
+        out_shape=jax.ShapeDtypeStruct((s + 1, d), jnp.float32),
         interpret=interpret,
     )(boxes_t, mask2d, g.reshape(height * width, d))
     zero_int = lambda x: np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
-    return demb0[1:], zero_int(boxes), zero_int(box_mask)
+    return demb0[1:].astype(embeddings.dtype), zero_int(boxes), zero_int(box_mask)
 
 
 _scatter_core.defvjp(_scatter_fwd, _scatter_bwd)
