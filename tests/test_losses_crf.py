@@ -331,3 +331,138 @@ class TestRandomSubsampleMask:
             jax.grad(lambda l: _masked_topk_sum(l, jnp.ones(4, bool), 2)[0])(losses2)
         )
         np.testing.assert_allclose(g2, [1.0, 1.0, 0.0, 0.0], atol=1e-6)
+
+
+def _upsample(x, block):
+    return x.repeat(block, axis=1).repeat(block, axis=2)
+
+
+class TestPooledLosses:
+    """The *_pooled variants must equal the full-resolution losses bit-for-bit
+    (same PRNG draws): within a block×block tile every pixel shares the cell's
+    logits, so the pooled reformulation is a regrouping, not an approximation.
+    """
+
+    B, H4, W4, C, BLOCK = 2, 8, 12, 5, 4
+
+    def _cells(self, c=None):
+        c = c or self.C
+        logits4 = RNG.standard_normal((self.B, self.H4, self.W4, c)).astype(
+            np.float32
+        )
+        targets = RNG.integers(
+            0, c, (self.B, self.H4 * self.BLOCK, self.W4 * self.BLOCK)
+        ).astype(np.int32)
+        return jnp.asarray(logits4), jnp.asarray(targets)
+
+    def _full(self, logits4, c):
+        full = _upsample(np.asarray(logits4), self.BLOCK).reshape(-1, c)
+        return jnp.asarray(full)
+
+    def test_ohem_matches_fullres(self):
+        from vibertgrid_tpu.ops.losses import cross_entropy_ohem_pooled
+
+        for kp, kn, random in [(-1, -1, False), (40, 60, False), (7, 5, True),
+                               (10**7, 10**7, False)]:
+            logits4, targets = self._cells()
+            key = jax.random.PRNGKey(3)
+            valid = jnp.ones((targets.size,), bool)
+            want = cross_entropy_ohem(
+                self._full(logits4, self.C), targets.reshape(-1), valid,
+                num_hard_positive=kp, num_hard_negative=kn, random=random,
+                key=key,
+            )
+            got = cross_entropy_ohem_pooled(
+                logits4, targets, block=self.BLOCK,
+                num_hard_positive=kp, num_hard_negative=kn, random=random,
+                key=key,
+            )
+            np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+    def test_ohem_weighted_matches(self):
+        from vibertgrid_tpu.ops.losses import cross_entropy_ohem_pooled
+
+        w = [0.5, 1.0, 2.0, 1.5, 0.25]
+        for kp, kn in [(-1, -1), (30, 50)]:
+            logits4, targets = self._cells()
+            valid = jnp.ones((targets.size,), bool)
+            want = cross_entropy_ohem(
+                self._full(logits4, self.C), targets.reshape(-1), valid,
+                num_hard_positive=kp, num_hard_negative=kn, weight=w,
+            )
+            got = cross_entropy_ohem_pooled(
+                logits4, targets, block=self.BLOCK,
+                num_hard_positive=kp, num_hard_negative=kn, weight=w,
+            )
+            np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+    def test_random_sample_matches_fullres(self):
+        from vibertgrid_tpu.ops.losses import cross_entropy_random_sample_pooled
+
+        for c, sample_list in [(3, [17, 23, 11]), (3, [10**7] * 3),
+                               (5, [64, 32, 16, 8, 4]), (4, [40, 60])]:
+            logits4, targets = self._cells(c)
+            key = jax.random.PRNGKey(9)
+            valid = jnp.ones((targets.size,), bool)
+            want = cross_entropy_random_sample(
+                self._full(logits4, c), targets.reshape(-1), valid,
+                sample_list=sample_list, key=key,
+            )
+            got = cross_entropy_random_sample_pooled(
+                logits4, targets, block=self.BLOCK,
+                sample_list=sample_list, key=key,
+            )
+            np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+    def test_bce_matches_fullres(self):
+        from vibertgrid_tpu.ops.losses import bce_ohem_pooled
+
+        for kp, kn, random in [(-1, -1, False), (25, 40, False), (6, 9, True)]:
+            logits4 = RNG.standard_normal((self.B, self.H4, self.W4)).astype(
+                np.float32
+            )
+            targets = (
+                RNG.random((self.B, self.H4 * self.BLOCK, self.W4 * self.BLOCK))
+                > 0.7
+            )
+            gate4 = RNG.random((self.B, self.H4, self.W4)) > 0.3
+            gate = _upsample(gate4[..., None], self.BLOCK)[..., 0]
+            key = jax.random.PRNGKey(5)
+            want = bce_ohem(
+                jnp.asarray(
+                    _upsample(logits4[..., None], self.BLOCK)[..., 0].reshape(-1)
+                ),
+                jnp.asarray(targets.reshape(-1).astype(np.float32)),
+                jnp.asarray(gate.reshape(-1)),
+                num_hard_positive=kp, num_hard_negative=kn, random=random,
+                key=key,
+            )
+            got = bce_ohem_pooled(
+                jnp.asarray(logits4), jnp.asarray(targets), jnp.asarray(gate),
+                block=self.BLOCK, num_hard_positive=kp, num_hard_negative=kn,
+                random=random, key=key,
+            )
+            np.testing.assert_allclose(float(got), float(want), rtol=2e-6)
+
+    def test_ohem_gradients_match_fullres(self):
+        from vibertgrid_tpu.ops.losses import cross_entropy_ohem_pooled
+
+        logits4, targets = self._cells()
+        valid = jnp.ones((targets.size,), bool)
+
+        def full_loss(l4):
+            full = jnp.repeat(jnp.repeat(l4, self.BLOCK, 1), self.BLOCK, 2)
+            return cross_entropy_ohem(
+                full.reshape(-1, self.C), targets.reshape(-1), valid,
+                num_hard_positive=40, num_hard_negative=60,
+            )
+
+        def pooled_loss(l4):
+            return cross_entropy_ohem_pooled(
+                l4, targets, block=self.BLOCK,
+                num_hard_positive=40, num_hard_negative=60,
+            )
+
+        gw = jax.grad(full_loss)(logits4)
+        gg = jax.grad(pooled_loss)(logits4)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=1e-6)

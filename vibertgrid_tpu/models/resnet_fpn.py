@@ -24,12 +24,70 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import numpy as np
+
 import jax.numpy as jnp
 import flax.linen as nn
 
 
 def _upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.repeat(scale, axis=1).repeat(scale, axis=2)
+
+
+class _SplitPointwise(nn.Module):
+    """1×1 conv over a concat of nearest-upsampled maps, without the concat.
+
+    ``conv1x1(concat(up(x_i)), K) == Σ_i up(conv1x1(x_i, K_i))`` — nearest
+    upsampling commutes with pointwise convolution and the kernel splits along
+    its input-channel axis. The reference's P_fuse
+    (``ResNetFPN_ViBERTgrid.py:502-506``) concatenates four pyramid levels at
+    stride 4 first — a [B, H/4, W/4, 4·256] intermediate (192 MB at bench
+    shapes in bf16) written and re-read by the conv, in both passes. Here each
+    level is projected at its native resolution (64× to 4× fewer cells) and
+    only the cheap 256-channel partial sums touch stride 4.
+
+    The parameter tree matches ``nn.Conv(name=...)`` exactly — one
+    ``kernel [1, 1, ΣC_i, F]`` (lecun-normal, no bias, like every FPN conv
+    here), so checkpoints are interchangeable with the concat formulation.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], scales: Sequence[int]):
+        c_in = sum(x.shape[-1] for x in xs)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, c_in, self.features),
+        )
+        # Project each level at its native resolution (fp32 accumulation in
+        # the einsum, partials in the compute dtype), then accumulate
+        # progressively coarse→fine: ``up8(y0)+up4(y1)+up2(y2)+y3 ==
+        # up2(up2(up2(y0)+y1)+y2)+y3`` for nearest upsampling, so every add
+        # runs at the smaller resolution instead of all three at stride 4.
+        order = sorted(range(len(xs)), key=lambda i: -scales[i])
+        offs = np.cumsum([0] + [x.shape[-1] for x in xs])
+        out = None
+        prev_scale = scales[order[0]]
+        for i in order:
+            x = xs[i]
+            k = kernel[0, 0, offs[i] : offs[i + 1]].astype(self.dtype)
+            y = jnp.einsum(
+                "bhwc,cf->bhwf",
+                x.astype(self.dtype),
+                k,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            if out is None:
+                out = y
+            else:
+                out = _upsample_nearest(out, prev_scale // scales[i]) + y
+            prev_scale = scales[i]
+        if prev_scale > 1:
+            out = _upsample_nearest(out, prev_scale)
+        return out
 
 
 class ResBlock(nn.Module):
@@ -146,17 +204,12 @@ class ResNetFPN(nn.Module):
             _upsample_nearest(x6, 2) + conv(self.pyramid_channels, 1, 1, "skip3")(x1)
         )  # stride 4
 
-        # P_fuse (reference :502-506): everything to stride 4, concat, 1×1.
-        fuse = jnp.concatenate(
-            [
-                _upsample_nearest(x4, 8),
-                _upsample_nearest(x5, 4),
-                _upsample_nearest(x6, 2),
-                x7,
-            ],
-            axis=-1,
+        # P_fuse (reference :502-506): everything to stride 4, concat, 1×1 —
+        # computed concat-free at each level's native resolution (see
+        # _SplitPointwise; same params, same math).
+        return _SplitPointwise(self.fuse_channels, dtype=self.dtype, name="fuse")(
+            [x4, x5, x6, x7], [8, 4, 2, 1]
         )
-        return conv(self.fuse_channels, 1, 1, "fuse")(fuse)
 
 
 # Registry mirroring model/ViBERTgrid_net.py:282-316. "pretrained" entries

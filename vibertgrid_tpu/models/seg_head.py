@@ -27,9 +27,9 @@ import flax.linen as nn
 
 from vibertgrid_tpu.ops.rasterize import rasterize_label_maps
 from vibertgrid_tpu.ops.losses import (
-    bce_ohem,
-    cross_entropy_ohem,
-    cross_entropy_random_sample,
+    bce_ohem_pooled,
+    cross_entropy_ohem_pooled,
+    cross_entropy_random_sample_pooled,
 )
 
 
@@ -103,37 +103,43 @@ class SemanticSegmentationHead(nn.Module):
             self.num_classes - 1, (1, 1), dtype=self.dtype, name="binary_bank"
         )(class_logits4.astype(self.dtype)).astype(jnp.float32)
 
-        mask_logits = _upsample_nearest(mask_logits4, 4)
-        class_logits = _upsample_nearest(class_logits4, 4)
-        bin_logits = _upsample_nearest(bin_logits4, 4)
-
         pos_neg, class_map = _labels(seg_classes, boxes, box_mask, h, w)
 
+        # All losses run at stride-4 cell granularity via the *_pooled
+        # variants: within a 4×4 tile every pixel shares the cell's logits,
+        # so per-pixel losses take few distinct values — the pooled forms are
+        # exactly the full-resolution losses (ops/losses.py) at 16× less
+        # bandwidth, and no full-res tensor is ever part of the grad graph.
         assert key is not None
         k1, *k2 = jax.random.split(key, self.num_classes + 1)
-        all_valid = jnp.ones((b * h * w,), bool)
-        loss1 = cross_entropy_random_sample(
-            mask_logits.reshape(-1, 3),
-            pos_neg.reshape(-1),
-            all_valid,
+        loss1 = cross_entropy_random_sample_pooled(
+            mask_logits4,
+            pos_neg,
+            block=4,
             sample_list=self.loss_1_sample_list,
             key=k1,
         )
 
-        pred_pos = jnp.argmax(mask_logits, axis=-1) == 1  # [B, H, W]
-        gated = pred_pos.reshape(-1)
+        # ref gate :221: per-class binary losses over predicted-positive
+        # pixels; argmax of upsampled logits == upsample of cell argmax.
+        pred_pos4 = jnp.argmax(mask_logits4, axis=-1) == 1  # [B, h4, w4]
+        gated = _upsample_nearest(pred_pos4[..., None], 4)[..., 0]  # [B, H, W]
         loss2 = jnp.zeros((), jnp.float32)
         for ci in range(self.num_classes - 1):
-            loss2 = loss2 + bce_ohem(
-                bin_logits[..., ci].reshape(-1),
-                (class_map == ci + 1).reshape(-1).astype(jnp.float32),
+            loss2 = loss2 + bce_ohem_pooled(
+                bin_logits4[..., ci],
+                class_map == ci + 1,
                 gated,
+                block=4,
                 num_hard_positive=self.num_hard_positive,
                 num_hard_negative=self.num_hard_negative,
                 key=k2[ci],
             )
-        any_pos = jnp.any(gated).astype(jnp.float32)  # ref gate :221
-        return loss1 + any_pos * loss2, mask_logits, class_logits
+        any_pos = jnp.any(pred_pos4).astype(jnp.float32)  # ref gate :221
+        loss = loss1 + any_pos * loss2
+        mask_logits = _upsample_nearest(mask_logits4, 4)
+        class_logits = _upsample_nearest(class_logits4, 4)
+        return loss, mask_logits, class_logits
 
 
 class SimplifiedSemanticSegmentationHead(nn.Module):
@@ -162,28 +168,28 @@ class SimplifiedSemanticSegmentationHead(nn.Module):
         mask_logits4, class_logits4 = _SegEncoder(
             self.num_classes, self.dtype, name="encoder"
         )(p_fuse, train)
-        mask_logits = _upsample_nearest(mask_logits4, 4)
-        class_logits = _upsample_nearest(class_logits4, 4)
 
         pos_neg, class_map = _labels(seg_classes, boxes, box_mask, h, w)
 
+        # Cell-granularity pooled losses — see the two-stage head above.
         assert key is not None
         k1, k2 = jax.random.split(key)
-        all_valid = jnp.ones((b * h * w,), bool)
-        loss1 = cross_entropy_random_sample(
-            mask_logits.reshape(-1, 3),
-            pos_neg.reshape(-1),
-            all_valid,
+        loss1 = cross_entropy_random_sample_pooled(
+            mask_logits4,
+            pos_neg,
+            block=4,
             sample_list=self.loss_1_sample_list,
             key=k1,
         )
-        loss2 = cross_entropy_ohem(
-            class_logits.reshape(-1, self.num_classes),
-            class_map.reshape(-1),
-            all_valid,
+        loss2 = cross_entropy_ohem_pooled(
+            class_logits4,
+            class_map,
+            block=4,
             num_hard_positive=self.num_hard_positive,
             num_hard_negative=self.num_hard_negative,
             weight=self.loss_weights,
             key=k2,
         )
+        mask_logits = _upsample_nearest(mask_logits4, 4)
+        class_logits = _upsample_nearest(class_logits4, 4)
         return loss1 + loss2, mask_logits, class_logits

@@ -143,7 +143,18 @@ def _random_subsample_mask(mask, limit, key):
     """
     limit_eff = min(limit, mask.size)
     flat = mask.reshape(-1)
-    bits = jax.random.bits(key, (mask.size,), dtype=jnp.uint32)
+    # splitmix hash of (seed, index) instead of jax.random.bits: threefry
+    # costs ~12 ops/word and these masks run at full label resolution (1.5M
+    # pixels × several categories per step at bench shapes). One scalar
+    # threefry draw seeds the stream; the hash only has to be uniform.
+    from vibertgrid_tpu.ops.dropout import derive_seed
+
+    seed = derive_seed(key)
+    x = jax.lax.iota(jnp.uint32, mask.size)
+    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    bits = x ^ (x >> 16)
 
     def bit_step(i, t):
         cand = t | (jnp.uint32(1) << (31 - i))
@@ -162,6 +173,244 @@ def _random_subsample_mask(mask, limit, key):
     tie_rank = jnp.cumsum(ties.astype(jnp.int32))
     keep = above | (ties & (tie_rank <= n_take))
     return mask & keep.reshape(mask.shape)
+
+
+def _weighted_topk_sum(values, weights, k):
+    """Sum of the ``min(k, Σweights)`` largest elements of the *multiset* in
+    which ``values[i]`` occurs ``weights[i]`` times (weights int ≥ 0).
+
+    Same 32-bit threshold binary search as :func:`_masked_topk_sum`, with
+    occurrence counts replacing the boolean mask — each count pass sums
+    weights instead of counting elements. Gradients flow into ``values``
+    through the weighted sums (weights are integer counts, no gradient).
+    """
+    w = weights.astype(jnp.int32).reshape(-1)
+    v = values.astype(jnp.float32).reshape(-1)
+    n = jnp.sum(w)
+    if k == -1:
+        return jnp.sum(w.astype(jnp.float32) * v), n
+
+    keys = jnp.where(w > 0, _sortable_key(v), jnp.uint32(0))
+
+    def bit_step(i, t):
+        cand = t | (jnp.uint32(1) << (31 - i))
+        cnt = jnp.sum(jnp.where(keys >= cand, w, 0))
+        return jnp.where(cnt >= k, cand, t)
+
+    t = jax.lax.fori_loop(0, 32, bit_step, jnp.uint32(0))
+
+    above = keys > t
+    wf = w.astype(jnp.float32)
+    cnt_above = jnp.sum(jnp.where(above, w, 0))
+    total_above = jnp.sum(jnp.where(above, wf * v, 0.0))
+    kept = jnp.minimum(k, n)
+    # Threshold ties: as in _masked_topk_sum, express the partial tie take
+    # through the tied VALUES so gradients reach every tied element.
+    ties = (keys == t) & (w > 0) & (t > 0)
+    cnt_ties = jnp.sum(jnp.where(ties, w, 0))
+    sum_ties = jnp.sum(jnp.where(ties, wf * v, 0.0))
+    n_take = jnp.maximum(kept - cnt_above, 0)
+    frac = n_take.astype(jnp.float32) / jnp.maximum(cnt_ties, 1).astype(jnp.float32)
+    return total_above + frac * sum_ties, kept
+
+
+def _block_sum(x, block):
+    """Sum over non-overlapping ``block×block`` tiles of ``[..., H, W]``."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // block, block, w // block, block)
+    return x.sum(axis=(-3, -1))
+
+
+def _cell_ce_values(logits4, weight=None):
+    """``[..., C]`` per-class CE value table: ``CE(logits, c)`` for each c."""
+    logits4 = logits4.astype(jnp.float32)
+    vals = jax.nn.logsumexp(logits4, axis=-1, keepdims=True) - logits4
+    if weight is not None:
+        vals = vals * jnp.asarray(weight, jnp.float32)
+    return vals
+
+
+def cross_entropy_ohem_pooled(
+    logits4: jax.Array,
+    targets: jax.Array,
+    *,
+    block: int,
+    num_hard_positive: int = -1,
+    num_hard_negative: int = -1,
+    weight=None,
+    random: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """:func:`cross_entropy_ohem` over block-upsampled logits, exactly, at
+    cell cost.
+
+    Equals ``cross_entropy_ohem(upsample_nearest(logits4, block).reshape(-1,
+    C), targets.reshape(-1), all_valid, ...)`` (same PRNG draws when
+    ``random=True``) without ever materialising full-resolution logits or
+    losses: within a ``block×block`` tile every pixel shares the cell's
+    logits, so per-pixel CE takes at most C distinct values per cell. The
+    selection machinery (random pre-sample masks) stays at pixel resolution
+    (integer work only); the loss reduction runs on the ``[B, h, w, C]``
+    value table weighted by per-(cell, class) pixel counts. Gradients flow
+    only through the cell-level table — the backward pass never touches a
+    full-resolution tensor.
+
+    Args:
+        logits4: ``[B, h, w, C]`` cell logits.
+        targets: ``[B, h·block, w·block]`` int pixel labels.
+    """
+    c = logits4.shape[-1]
+    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C]
+
+    if num_hard_positive == -1 and num_hard_negative == -1:
+        counts = jnp.stack(
+            [_block_sum((targets == ci).astype(jnp.int32), block) for ci in range(c)],
+            axis=-1,
+        )  # [B, h, w, C]
+        total = jnp.sum(counts.astype(jnp.float32) * vals)
+        if weight is not None:
+            wsum = jnp.sum(
+                counts.astype(jnp.float32) * jnp.asarray(weight, jnp.float32)
+            )
+            return total / jnp.maximum(wsum, 1e-12)
+        return total / jnp.maximum(jnp.sum(counts).astype(jnp.float32), 1.0)
+
+    pos_mask = (targets != 0).reshape(-1)
+    neg_mask = (targets == 0).reshape(-1)
+    if random:
+        assert key is not None, "ohem random sampling needs a PRNG key"
+        kp, kn = jax.random.split(key)
+        if num_hard_positive != -1:
+            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
+        if num_hard_negative != -1:
+            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+    pos_mask = pos_mask.reshape(targets.shape)
+    neg_mask = neg_mask.reshape(targets.shape)
+
+    # Per-(cell, class) pixel counts of each side's (possibly subsampled)
+    # selection. The negative side only ever holds class-0 pixels.
+    pos_counts = jnp.stack(
+        [
+            _block_sum((pos_mask & (targets == ci)).astype(jnp.int32), block)
+            for ci in range(1, c)
+        ],
+        axis=-1,
+    )
+    neg_counts = _block_sum(neg_mask.astype(jnp.int32), block)[..., None]
+
+    pos_sum, pos_n = _weighted_topk_sum(vals[..., 1:], pos_counts, num_hard_positive)
+    neg_sum, neg_n = _weighted_topk_sum(vals[..., :1], neg_counts, num_hard_negative)
+    total_n = (pos_n + neg_n).astype(jnp.float32)
+    return (pos_sum + neg_sum) / jnp.maximum(total_n, 1.0)
+
+
+def cross_entropy_random_sample_pooled(
+    logits4: jax.Array,
+    targets: jax.Array,
+    *,
+    block: int,
+    sample_list=None,
+    weight=None,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """:func:`cross_entropy_random_sample` over block-upsampled logits,
+    exactly, at cell cost (see :func:`cross_entropy_ohem_pooled`)."""
+    c = logits4.shape[-1]
+    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C]
+
+    if sample_list is None:
+        counts = jnp.stack(
+            [_block_sum((targets == ci).astype(jnp.int32), block) for ci in range(c)],
+            axis=-1,
+        )
+        total = jnp.sum(counts.astype(jnp.float32) * vals)
+        return total / jnp.maximum(jnp.sum(counts).astype(jnp.float32), 1.0)
+
+    assert key is not None, "random sampling needs a PRNG key"
+    num_cats = len(sample_list)
+    flat = targets.reshape(-1)
+    if num_cats == 2 and c >= 2:
+        cat_masks = [flat == 0, flat != 0]
+        # category loss value for a pixel is CE at its own class, so the
+        # "!= 0" category needs per-class counts.
+        cat_classes = [[0], list(range(1, c))]
+    else:
+        assert num_cats == c, (
+            f"sample_list length {num_cats} must be 2 or match the class "
+            f"dimension {c}"
+        )
+        cat_masks = [flat == i for i in range(num_cats)]
+        cat_classes = [[i] for i in range(num_cats)]
+
+    keys = jax.random.split(key, num_cats)
+    total = jnp.zeros((), jnp.float32)
+    count = jnp.zeros((), jnp.float32)
+    for cat_mask, sample, k, classes in zip(cat_masks, sample_list, keys, cat_classes):
+        kept = _random_subsample_mask(cat_mask, sample, k).reshape(targets.shape)
+        for ci in classes:
+            kc = _block_sum(
+                (kept & (targets == ci)).astype(jnp.int32), block
+            ).astype(jnp.float32)
+            total = total + jnp.sum(kc * vals[..., ci])
+            count = count + jnp.sum(kc)
+    return total / jnp.maximum(count, 1.0)
+
+
+def bce_ohem_pooled(
+    logits4: jax.Array,
+    targets: jax.Array,
+    gate: jax.Array,
+    *,
+    block: int,
+    num_hard_positive: int = -1,
+    num_hard_negative: int = -1,
+    random: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """:func:`bce_ohem` over block-upsampled logits, exactly, at cell cost.
+
+    ``logits4``: ``[B, h, w]`` cell logits; ``targets``: ``[B, h·block,
+    w·block]`` binary pixel targets; ``gate``: pixel validity (the reference
+    gates on the predicted positive mask, semantic_segmentation_head.py:221).
+    Per-cell BCE takes exactly two values (target 0 / target 1), so the
+    reduction runs on a ``[B, h, w, 2]`` table weighted by gated pixel counts.
+    """
+    logits4 = logits4.astype(jnp.float32)
+    # vals[..., j] = BCE(logit, target=j)
+    vals = jnp.stack(
+        [
+            jnp.maximum(logits4, 0) - logits4 * t + jnp.log1p(jnp.exp(-jnp.abs(logits4)))
+            for t in (0.0, 1.0)
+        ],
+        axis=-1,
+    )
+
+    tpos = targets != 0
+    pos_mask = (gate & tpos).reshape(-1)
+    neg_mask = (gate & ~tpos).reshape(-1)
+    if num_hard_positive == -1 and num_hard_negative == -1:
+        pc = _block_sum(pos_mask.reshape(targets.shape).astype(jnp.int32), block)
+        nc = _block_sum(neg_mask.reshape(targets.shape).astype(jnp.int32), block)
+        total = jnp.sum(pc.astype(jnp.float32) * vals[..., 1]) + jnp.sum(
+            nc.astype(jnp.float32) * vals[..., 0]
+        )
+        n = jnp.sum(pc) + jnp.sum(nc)
+        return total / jnp.maximum(n.astype(jnp.float32), 1.0)
+
+    if random:
+        assert key is not None
+        kp, kn = jax.random.split(key)
+        if num_hard_positive != -1:
+            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
+        if num_hard_negative != -1:
+            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+    pos_counts = _block_sum(pos_mask.reshape(targets.shape).astype(jnp.int32), block)
+    neg_counts = _block_sum(neg_mask.reshape(targets.shape).astype(jnp.int32), block)
+
+    pos_sum, pos_n = _weighted_topk_sum(vals[..., 1], pos_counts, num_hard_positive)
+    neg_sum, neg_n = _weighted_topk_sum(vals[..., 0], neg_counts, num_hard_negative)
+    total_n = (pos_n + neg_n).astype(jnp.float32)
+    return (pos_sum + neg_sum) / jnp.maximum(total_n, 1.0)
 
 
 def cross_entropy_ohem(

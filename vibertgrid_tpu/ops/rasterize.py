@@ -76,8 +76,8 @@ def box_winner_map(
     else:
         idx = jnp.pad(values.astype(jnp.int32) - 1, (0, s_pad - s))
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    rows = jnp.arange(height, dtype=jnp.int32)
+    cols = jnp.arange(width, dtype=jnp.int32)
 
     def step(carry, inp):
         cboxes, cvalid, cidx = inp
@@ -85,16 +85,25 @@ def box_winner_map(
         y0 = cboxes[:, 1] // stride
         x1 = cboxes[:, 2] // stride
         y1 = cboxes[:, 3] // stride
-        inside = (
-            (rows[None] >= y0[:, None, None])
-            & (rows[None] < y1[:, None, None])
-            & (cols[None] >= x0[:, None, None])
-            & (cols[None] < x1[:, None, None])
-            & cvalid[:, None, None]
+        # Separable membership: cell (y, x) is inside box s iff the row AND
+        # the column tests pass, so fold the (idx+1)·valid payload into the
+        # [S, H] row vector and multiply by the [S, W] column mask — the only
+        # full [S, H, W] work is one int multiply + one max-reduce per cell
+        # (the naive form does four compares + three ands + a select there,
+        # ~4× more VPU work at full-resolution label rasterization sizes).
+        rowv = jnp.where(
+            (rows[None, :] >= y0[:, None])
+            & (rows[None, :] < y1[:, None])
+            & cvalid[:, None],
+            cidx[:, None] + 1,
+            0,
+        )  # [S, H] int32
+        colm = (
+            (cols[None, :] >= x0[:, None]) & (cols[None, :] < x1[:, None])
+        ).astype(jnp.int32)  # [S, W]
+        cwin = jnp.max(rowv[:, :, None] * colm[:, None, :], axis=0).astype(
+            jnp.int32
         )
-        cwin = jnp.max(
-            jnp.where(inside, cidx[:, None, None] + 1, 0), axis=0
-        ).astype(jnp.int32)
         return jnp.maximum(carry, cwin), None
 
     init = jnp.zeros((height, width), jnp.int32)

@@ -145,11 +145,16 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         )
 
     tokenizer = build_tokenizer(hyp)
-    if hyp.get("mesh_model", 1) > 1 and hyp.get("attention_impl", "auto") == "auto":
-        # Head-sharded tensor parallelism: GSPMD cannot partition a
-        # pallas_call, so the fused attention kernel would force all-gathers
-        # of the head-sharded activations. Keep the einsum path, which GSPMD
-        # partitions along heads for free.
+    n_mesh_devices = hyp.get("mesh_model", 1) * (
+        hyp.get("mesh_data") or len(jax.devices())
+    )
+    if n_mesh_devices > 1 and hyp.get("attention_impl", "auto") == "auto":
+        # GSPMD cannot partition a pallas_call: under head-sharded tensor
+        # parallelism the fused kernel would force all-gathers of the sharded
+        # activations, and even pure data parallelism would replicate the
+        # batch into every kernel invocation. Any multi-device mesh therefore
+        # keeps the einsum path, which GSPMD partitions along batch/heads for
+        # free; the fused kernel is the single-chip fast path.
         hyp = dict(hyp, attention_impl="xla")
     spec, cfg, model, transform, collator, tag_to_idx = build_all(
         hyp, dataset, tokenizer, spec
