@@ -4,7 +4,7 @@ Flagship config matches the reference's best SROIE row (readme.md:139):
 BERT-base-uncased + ResNet-34-FPN, simplified head, bf16 compute. Shapes
 model a typical SROIE receipt after the reference transform
 (test_min_size=512, max_size=800 → ~512×384) with one 510-token window and
-128 text segments.
+128 text segments. bs 16 saturates the chip (tools/batch_sweep.py).
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "docs/sec/chip", "vs_baseline": N}
@@ -26,7 +26,7 @@ import jax
 
 ESTIMATED_A100_PYTORCH_DOCS_PER_SEC = 40.0
 
-B, H, W, T, S = 8, 512, 384, 510, 128
+B, H, W, T, S = 16, 512, 384, 510, 128
 
 
 def main():
@@ -89,7 +89,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "docs/sec/chip joint CNN+BERT forward (SROIE 512x384, bs8)",
+                "metric": "docs/sec/chip joint CNN+BERT forward (SROIE 512x384, bs16)",
                 "value": round(docs_per_sec, 2),
                 "unit": "docs/sec/chip",
                 "vs_baseline": round(

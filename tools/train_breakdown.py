@@ -40,7 +40,9 @@ def main():
     from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
     from vibertgrid_tpu.train import create_train_state, make_optimizer, make_train_step
 
-    B, H, W, T, S = 8, 512, 384, 510, 128
+    import os as _os
+    B = int(_os.environ.get("BENCH_B", "8"))
+    H, W, T, S = 512, 384, 510, 128
     cfg = ModelConfig(
         num_classes=5,
         bert_version="bert-base-uncased",
