@@ -58,7 +58,9 @@ def main():
     # not synchronize — only a device→host value fetch does. The benchmark
     # therefore runs ITERS forwards inside one on-device fori_loop (each
     # iteration data-dependent on the last) and fetches a single scalar.
-    ITERS = 30
+    # The fetch itself costs ~29 ms through the tunnel (tools/mxu_calib.py),
+    # so ITERS must be large enough to amortise it below the noise floor.
+    ITERS = 100
 
     @jax.jit
     def bench_loop(variables, batch):
