@@ -131,48 +131,108 @@ def _masked_topk_sum(losses, mask, k):
     return total_above + frac * sum_ties, kept
 
 
-def _random_subsample_mask(mask, limit, key):
-    """Keep a uniformly random ``min(limit, n)`` subset of a boolean mask.
+def _hash_bits(n: int, key) -> jax.Array:
+    """``[n]`` uint32 random keys: splitmix finalizer of (seed, index).
 
-    Exact without-replacement sampling: the k largest of iid random keys
-    over the masked entries are a uniform random k-subset (Gumbel-top-k for
-    uniform weights). Selection is sortless — binary-search the k-th largest
-    random key (32 masked count passes), then break threshold ties by a
-    cumsum — because both ``lax.top_k`` and the index scatter it needs cost
-    full sorts/scatters over the 1.5M-pixel aux maps.
-    """
-    limit_eff = min(limit, mask.size)
-    flat = mask.reshape(-1)
-    # splitmix hash of (seed, index) instead of jax.random.bits: threefry
-    # costs ~12 ops/word and these masks run at full label resolution (1.5M
-    # pixels × several categories per step at bench shapes). One scalar
-    # threefry draw seeds the stream; the hash only has to be uniform.
+    Replaces ``jax.random.bits`` (threefry is ~12 ops/word; these streams run
+    at full label resolution — 1.5M pixels × several categories per step at
+    bench shapes; one scalar threefry draw seeds the stream). Every step of
+    the finalizer is a bijection on uint32 (xor-shift mixes and odd-constant
+    multiplies), so for a fixed seed the n keys are pairwise DISTINCT — the
+    threshold selections below can rely on at most one element ever tying
+    the k-th key."""
     from vibertgrid_tpu.ops.dropout import derive_seed
 
     seed = derive_seed(key)
-    x = jax.lax.iota(jnp.uint32, mask.size)
+    x = jax.lax.iota(jnp.uint32, n)
     x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
     x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    bits = x ^ (x >> 16)
+    return x ^ (x >> 16)
 
-    def bit_step(i, t):
-        cand = t | (jnp.uint32(1) << (31 - i))
-        cnt = jnp.sum((flat & (bits >= cand)).astype(jnp.int32))
-        return jnp.where(cnt >= limit_eff, cand, t)
 
-    t = jax.lax.fori_loop(0, 32, bit_step, jnp.uint32(0))
-    above = flat & (bits > t)
-    ties = flat & (bits == t)
-    n = jnp.sum(flat.astype(jnp.int32))
-    n_take = jnp.maximum(
-        jnp.minimum(limit_eff, n) - jnp.sum(above.astype(jnp.int32)), 0
-    )
-    # ties hold identical random keys, so any n_take of them is a uniform
-    # choice; take the first by position via a cumsum.
-    tie_rank = jnp.cumsum(ties.astype(jnp.int32))
-    keep = above | (ties & (tie_rank <= n_take))
-    return mask & keep.reshape(mask.shape)
+def _random_subsample_masks(cat_masks, limits, key):
+    """Uniform ``min(limit_i, n_i)`` subsets of K **disjoint** categories.
+
+    Exact without-replacement sampling: the k largest of random keys over a
+    category's entries are a uniform k-subset (Gumbel-top-k for uniform
+    weights). Selection is sortless — one joint 32-pass binary search carries
+    all K thresholds, so the key stream is read once per pass regardless of
+    K, and ``lax.top_k``'s full sort over the 1.5M-pixel aux maps never
+    happens. All categories draw from ONE shared bijective key stream:
+    disjointness makes the picks independent across categories, and key
+    distinctness (see :func:`_hash_bits`) means at most one element ties
+    each threshold — no cumsum rank-break needed.
+
+    Returns a list of kept masks, same shapes as ``cat_masks``.
+    """
+    n = cat_masks[0].size
+    k_cats = len(cat_masks)
+    bits = _hash_bits(n, key)
+    limits_eff = jnp.asarray([min(l, n) for l in limits], jnp.int32)
+
+    if k_cats == 1:
+        # scalar-threshold fast path (the [K, N] stacked reduction lowers
+        # noticeably worse than a plain full reduction when K == 1)
+        flat0 = cat_masks[0].reshape(-1)
+        lim0 = min(limits[0], n)
+
+        def bit_step1(i, t):
+            cand = t | (jnp.uint32(1) << (31 - i))
+            cnt = jnp.sum((flat0 & (bits >= cand)).astype(jnp.int32))
+            return jnp.where(cnt >= lim0, cand, t)
+
+        ts = jax.lax.fori_loop(0, 32, bit_step1, jnp.uint32(0))[None]
+        flats = flat0[None]
+    else:
+        flats = jnp.stack([m.reshape(-1) for m in cat_masks])  # [K, N]
+
+        def bit_step(i, ts):
+            cand = ts | (jnp.uint32(1) << (31 - i))
+            cnt = jnp.sum(flats & (bits[None, :] >= cand[:, None]), axis=1)
+            return jnp.where(cnt >= limits_eff, cand, ts)
+
+        ts = jax.lax.fori_loop(0, 32, bit_step, jnp.zeros((k_cats,), jnp.uint32))
+
+    outs = []
+    for i in range(k_cats):
+        flat = flats[i]
+        above = flat & (bits > ts[i])
+        ties = flat & (bits == ts[i])  # ≤ 1 element (distinct keys)
+        n_cat = jnp.sum(flat.astype(jnp.int32))
+        n_take = jnp.maximum(
+            jnp.minimum(limits_eff[i], n_cat)
+            - jnp.sum(above.astype(jnp.int32)),
+            0,
+        )
+        keep = above | (ties & (n_take >= 1))
+        outs.append(cat_masks[i] & keep.reshape(cat_masks[i].shape))
+    return outs
+
+
+def _random_subsample_mask(mask, limit, key):
+    """Single-category :func:`_random_subsample_masks`."""
+    return _random_subsample_masks([mask], [limit], key)[0]
+
+
+def _ohem_random_presample(pos_mask, neg_mask, num_hard_positive,
+                           num_hard_negative, key):
+    """Random 2k pre-sampling of both OHEM sides from one joint draw."""
+    cats, lims = [], []
+    if num_hard_positive != -1:
+        cats.append(pos_mask)
+        lims.append(2 * num_hard_positive)
+    if num_hard_negative != -1:
+        cats.append(neg_mask)
+        lims.append(2 * num_hard_negative)
+    if not cats:
+        return pos_mask, neg_mask
+    outs = _random_subsample_masks(cats, lims, key)
+    if num_hard_positive != -1:
+        pos_mask = outs.pop(0)
+    if num_hard_negative != -1:
+        neg_mask = outs.pop(0)
+    return pos_mask, neg_mask
 
 
 def _weighted_topk_sum(values, weights, k):
@@ -279,11 +339,9 @@ def cross_entropy_ohem_pooled(
     neg_mask = (targets == 0).reshape(-1)
     if random:
         assert key is not None, "ohem random sampling needs a PRNG key"
-        kp, kn = jax.random.split(key)
-        if num_hard_positive != -1:
-            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
-        if num_hard_negative != -1:
-            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+        pos_mask, neg_mask = _ohem_random_presample(
+            pos_mask, neg_mask, num_hard_positive, num_hard_negative, key
+        )
     pos_mask = pos_mask.reshape(targets.shape)
     neg_mask = neg_mask.reshape(targets.shape)
 
@@ -342,11 +400,11 @@ def cross_entropy_random_sample_pooled(
         cat_masks = [flat == i for i in range(num_cats)]
         cat_classes = [[i] for i in range(num_cats)]
 
-    keys = jax.random.split(key, num_cats)
+    kept_list = _random_subsample_masks(cat_masks, list(sample_list), key)
     total = jnp.zeros((), jnp.float32)
     count = jnp.zeros((), jnp.float32)
-    for cat_mask, sample, k, classes in zip(cat_masks, sample_list, keys, cat_classes):
-        kept = _random_subsample_mask(cat_mask, sample, k).reshape(targets.shape)
+    for kept, classes in zip(kept_list, cat_classes):
+        kept = kept.reshape(targets.shape)
         for ci in classes:
             kc = _block_sum(
                 (kept & (targets == ci)).astype(jnp.int32), block
@@ -399,11 +457,9 @@ def bce_ohem_pooled(
 
     if random:
         assert key is not None
-        kp, kn = jax.random.split(key)
-        if num_hard_positive != -1:
-            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
-        if num_hard_negative != -1:
-            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+        pos_mask, neg_mask = _ohem_random_presample(
+            pos_mask, neg_mask, num_hard_positive, num_hard_negative, key
+        )
     pos_counts = _block_sum(pos_mask.reshape(targets.shape).astype(jnp.int32), block)
     neg_counts = _block_sum(neg_mask.reshape(targets.shape).astype(jnp.int32), block)
 
@@ -441,11 +497,9 @@ def cross_entropy_ohem(
     neg_mask = valid & (targets == 0)
     if random:
         assert key is not None, "ohem random sampling needs a PRNG key"
-        kp, kn = jax.random.split(key)
-        if num_hard_positive != -1:
-            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
-        if num_hard_negative != -1:
-            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+        pos_mask, neg_mask = _ohem_random_presample(
+            pos_mask, neg_mask, num_hard_positive, num_hard_negative, key
+        )
     pos_sum, pos_n = _masked_topk_sum(losses, pos_mask, num_hard_positive)
     neg_sum, neg_n = _masked_topk_sum(losses, neg_mask, num_hard_negative)
     total_n = (pos_n + neg_n).astype(jnp.float32)
@@ -479,11 +533,10 @@ def cross_entropy_random_sample(
         )
         cat_masks = [valid & (targets == i) for i in range(num_cats)]
 
-    keys = jax.random.split(key, num_cats)
+    kept_list = _random_subsample_masks(cat_masks, list(sample_list), key)
     total = jnp.zeros((), jnp.float32)
     count = jnp.zeros((), jnp.float32)
-    for cat_mask, sample, k in zip(cat_masks, sample_list, keys):
-        kept = _random_subsample_mask(cat_mask, sample, k)
+    for kept in kept_list:
         total = total + jnp.sum(jnp.where(kept, losses, 0.0))
         count = count + jnp.sum(kept.astype(jnp.float32))
     return total / jnp.maximum(count, 1.0)
@@ -510,11 +563,9 @@ def bce_ohem(
     neg_mask = valid & (targets == 0)
     if random:
         assert key is not None
-        kp, kn = jax.random.split(key)
-        if num_hard_positive != -1:
-            pos_mask = _random_subsample_mask(pos_mask, 2 * num_hard_positive, kp)
-        if num_hard_negative != -1:
-            neg_mask = _random_subsample_mask(neg_mask, 2 * num_hard_negative, kn)
+        pos_mask, neg_mask = _ohem_random_presample(
+            pos_mask, neg_mask, num_hard_positive, num_hard_negative, key
+        )
     pos_sum, pos_n = _masked_topk_sum(losses, pos_mask, num_hard_positive)
     neg_sum, neg_n = _masked_topk_sum(losses, neg_mask, num_hard_negative)
     total_n = (pos_n + neg_n).astype(jnp.float32)
@@ -545,11 +596,10 @@ def bce_random_sample(
     # is overwritten by index 0 — both categories use sample_list[0].
     samples = [samples[0], samples[0]]
     cat_masks = [valid & (logits <= 0), valid & (logits > 0)]
-    keys = jax.random.split(key, 2)
+    kept_list = _random_subsample_masks(cat_masks, samples, key)
     total = jnp.zeros((), jnp.float32)
     count = jnp.zeros((), jnp.float32)
-    for cat_mask, sample, k in zip(cat_masks, samples, keys):
-        kept = _random_subsample_mask(cat_mask, sample, k)
+    for kept in kept_list:
         total = total + jnp.sum(jnp.where(kept, losses, 0.0))
         count = count + jnp.sum(kept.astype(jnp.float32))
     return total / jnp.maximum(count, 1.0)
