@@ -1,0 +1,77 @@
+"""End-to-end serving latency: OCR parse → tokenize → collate → jitted
+forward → entity join, single document per request (the deployment path,
+``serve/engine.py``), flagship SROIE model on the real chip.
+
+Unlike bench.py (pure device throughput) this includes the host side:
+tokenization, bucketed collation, H2D, device forward, D2H, join + filters.
+The reference's deployment prints ~100-200 ms/doc on datacenter GPUs
+(SURVEY §6) for the same stage span. Through the tunneled sandbox chip the
+number is dominated by the two ~29 ms device round-trips per request
+(tools/mxu_calib.py) — on a local TPU host the device leg is ~7 ms.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.data.synthetic import make_test_tokenizer
+    from vibertgrid_tpu.serve.engine import InferenceEngine
+
+    rng = np.random.default_rng(0)
+    hyp = {
+        "num_classes": 5,
+        "bert_version": "bert-base-uncased",
+        "backbone": "resnet_34_fpn",
+        "classifier_mode": "simp",
+        "amp": True,
+        "image_min_size": [512],
+        "test_image_min_size": 512,
+        "image_max_size": 800,
+        "image_mean": [0.94, 0.94, 0.94],
+        "image_std": [0.19, 0.19, 0.19],
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # engine needs a tokenizer; use the offline test vocab
+        tokenizer = make_test_tokenizer(td)
+        engine = InferenceEngine(hyp, dataset="sroie", tokenizer=tokenizer)
+
+        # one "receipt": 48 text segments over a 768×576 page
+        image = rng.random((768, 576, 3)).astype(np.float32)
+        texts, boxes = [], []
+        words = ["total", "date", "company", "address", "lorem", "ipsum",
+                 "12.50", "2021-03-04", "ltd", "street"]
+        for i in range(48):
+            x0 = int(rng.integers(0, 500))
+            y0 = int(rng.integers(0, 740))
+            texts.append(" ".join(rng.choice(words, rng.integers(1, 4))))
+            boxes.append([x0, y0, x0 + int(rng.integers(30, 76)),
+                          y0 + int(rng.integers(10, 25))])
+
+        # warm: compile the bucket signature
+        engine.predict(image, texts, boxes)
+
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = engine.predict(image, texts, boxes)
+        dt = (time.perf_counter() - t0) / n
+        print(f"end-to-end serve latency: {dt * 1e3:.1f} ms/doc "
+              f"({1 / dt:.1f} docs/s single-stream)  fields={list(out)}")
+
+
+if __name__ == "__main__":
+    main()
