@@ -138,3 +138,64 @@ def test_tp_dp_mesh_runs():
     # Sharded kernels keep their sharding through the update.
     qk = state2.params["bert_model"]["layer_0"]["attention"]["query"]["kernel"]
     assert "model" in str(qk.sharding.spec)
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """ZeRO-1: sharded optimizer state must produce the same update as the
+    replicated baseline, stay sharded across steps, and actually shard the
+    large leaves."""
+    from vibertgrid_tpu.parallel.sharding import (
+        optimizer_state_shardings,
+        shard_optimizer_state,
+    )
+
+    model, optimizer, state, step_fn, batch = setup_train(smooth=True)
+    mesh = make_mesh(data=8, model=1)
+    key = jax.random.PRNGKey(3)
+
+    state_rep = replicate(state, mesh)
+    batch_s = shard_batch(batch, mesh)
+    step_rep = make_train_step(model, optimizer)
+    ref_state, ref_loss = step_rep(state_rep, batch_s, key)
+    ref_state, ref_loss2 = step_rep(ref_state, batch_s, key)
+
+    shardings = optimizer_state_shardings(state.opt_state, mesh, min_size=128)
+    z_state = replicate(state, mesh)
+    z_state = z_state.replace(
+        opt_state=shard_optimizer_state(state.opt_state, mesh, min_size=128)
+    )
+    step_z = make_train_step(model, optimizer, opt_state_shardings=shardings)
+    z_state, z_loss = step_z(z_state, batch_s, key)
+    z_state, z_loss2 = step_z(z_state, batch_s, key)
+
+    np.testing.assert_allclose(float(z_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(z_loss2), float(ref_loss2), rtol=2e-3)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(z_state.params),
+    ):
+        # Resharding the optimizer state changes collective/reduction order;
+        # BatchNorm amplifies that float noise (see the DP-vs-single-device
+        # test above), so compare with an absolute floor that covers two
+        # lr-scaled update steps on zero-init bias leaves.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
+
+    # large leaves sharded over 'data' and still sharded after two steps
+    from jax.sharding import PartitionSpec as P
+
+    n_sharded = 0
+    for leaf, sh in zip(
+        jax.tree_util.tree_leaves(z_state.opt_state),
+        jax.tree_util.tree_leaves(
+            optimizer_state_shardings(z_state.opt_state, mesh, min_size=128)
+        ),
+    ):
+        if sh.spec != P():
+            n_sharded += 1
+            assert "data" in str(leaf.sharding.spec), (
+                leaf.shape,
+                leaf.sharding,
+            )
+    assert n_sharded > 0

@@ -12,4 +12,8 @@ from vibertgrid_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
-from vibertgrid_tpu.parallel.sharding import param_shardings  # noqa: F401
+from vibertgrid_tpu.parallel.sharding import (  # noqa: F401
+    optimizer_state_shardings,
+    param_shardings,
+    shard_optimizer_state,
+)

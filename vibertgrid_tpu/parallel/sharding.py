@@ -40,3 +40,35 @@ def param_shardings(params, mesh: Mesh):
 def apply_shardings(params, mesh: Mesh):
     shardings = param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def optimizer_state_shardings(opt_state, mesh: Mesh, min_size: int = 2**16):
+    """ZeRO-1-style NamedShardings for optimizer state.
+
+    Beyond the reference (SURVEY §2.1: full-replica optimizers): each large
+    optimizer-state leaf (Adam m/v, SGD momentum — together 2-3× the param
+    bytes in fp32) is sharded over the ``data`` axis on its first
+    axis divisible by the axis size; small/indivisible leaves replicate.
+    With replicated params GSPMD all-gathers the sharded update at apply
+    time — the classic ZeRO-1 trade of one gather per step for an
+    N×-smaller optimizer-state footprint per chip.
+    """
+    n_data = mesh.shape["data"]
+
+    def spec_for(leaf):
+        if not hasattr(leaf, "ndim") or leaf.ndim == 0 or leaf.size < min_size:
+            return P()
+        for ax in range(leaf.ndim):
+            if leaf.shape[ax] % n_data == 0:
+                return P(*([None] * ax + ["data"]))
+        return P()
+
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, spec_for(leaf)), opt_state
+    )
+
+
+def shard_optimizer_state(opt_state, mesh: Mesh, min_size: int = 2**16):
+    """Place optimizer state with :func:`optimizer_state_shardings`."""
+    shardings = optimizer_state_shardings(opt_state, mesh, min_size)
+    return jax.tree_util.tree_map(jax.device_put, opt_state, shardings)

@@ -196,6 +196,21 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     state = create_train_state(model, optimizer, sample_batch, seed=42)
     state = replicate(state, mesh)
 
+    # ZeRO-1 (yaml `zero1: true`, beyond the reference's replicated
+    # optimizers): shard Adam/SGD state over the data axis; the train step
+    # pins the placement so it survives updates.
+    opt_shardings = None
+    if hyp.get("zero1", False) and mesh.shape["data"] > 1:
+        from vibertgrid_tpu.parallel.sharding import (
+            optimizer_state_shardings,
+            shard_optimizer_state,
+        )
+
+        opt_shardings = optimizer_state_shardings(state.opt_state, mesh)
+        state = state.replace(
+            opt_state=shard_optimizer_state(state.opt_state, mesh)
+        )
+
     # Pretrained ingestion from LOCAL checkpoints (no hub):
     # - bert_weights: HF torch state dict (.bin / .safetensors / .pt)
     # - backbone_weights: torchvision resnet state dict (.pth)
@@ -210,7 +225,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         start_epoch = int(meta.get("epoch", 0)) + 1
         print(f"==> resumed from {hyp['weights']} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer, opt_state_shardings=opt_shardings)
     eval_step = make_eval_step(model)
     logger = MetricsLogger(save_log, comment)
 

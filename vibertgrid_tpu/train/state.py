@@ -58,9 +58,16 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_clip_tresh: float = 10.0,
     clip_norm: float = 2.0,
+    opt_state_shardings=None,
 ):
     """Jitted train step. Conditional clipping reproduces the reference's
-    "clip when the loss spikes" rule (train_val_utils.py:280-282)."""
+    "clip when the loss spikes" rule (train_val_utils.py:280-282).
+
+    ``opt_state_shardings`` (a pytree of NamedShardings, see
+    ``parallel.sharding.optimizer_state_shardings``) pins the updated
+    optimizer state to its ZeRO-1 placement — without the constraint GSPMD
+    is free to replicate the output state and the sharding decays after one
+    step."""
 
     @jax.jit
     def train_step(state: TrainState, batch: Batch, key: jax.Array):
@@ -91,6 +98,10 @@ def make_train_step(
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if opt_state_shardings is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, opt_state_shardings
+            )
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=params,
