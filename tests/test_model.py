@@ -220,3 +220,77 @@ def test_masked_segments_do_not_affect_valid_preds():
         np.asarray(out_b.pred_label)[:, : S // 2],
         rtol=1e-5,
     )
+
+
+def test_all_backbone_registry_entries_run():
+    """Every entry of the 6-backbone registry (ref ViBERTgrid_net.py:282-316)
+    initialises and runs a forward at tiny shapes."""
+    from vibertgrid_tpu.models.resnet_fpn import BACKBONE_REGISTRY, ResNetFPN
+
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    grid = jnp.zeros((1, 8, 8, 16), jnp.float32)
+    for name, kw in BACKBONE_REGISTRY.items():
+        bk = ResNetFPN(pyramid_channels=32, fuse_channels=32, **kw)
+        v = bk.init(rng, img, grid, False)
+        out = bk.apply(v, img, grid, False)
+        assert out.shape == (1, 16, 16, 32), (name, out.shape)
+
+
+def test_all_bert_registry_entries_resolve():
+    """Every entry of the 7-model registry (ref ViBERTgrid_net.py:218-226)
+    resolves to a consistent TextEncoderConfig."""
+    from vibertgrid_tpu.models.bert import BERT_MODEL_REGISTRY
+    from vibertgrid_tpu.models.vibertgrid import ModelConfig
+
+    for name, (hidden, flavor) in BERT_MODEL_REGISTRY.items():
+        cfg = ModelConfig(num_classes=5, bert_version=name)
+        tc = cfg.resolved_text_config()
+        assert tc.hidden_size == hidden, name
+        assert tc.flavor == flavor, name
+        if flavor == "roberta":
+            assert tc.pad_token_id == 1
+
+
+def test_eval_cli_evaluate_smoke(tmp_path):
+    """eval.cli.evaluate runs the bs-1 test loop + entity join + JSON report
+    on the synthetic dataset with a fresh state."""
+    from vibertgrid_tpu.data.synthetic import (
+        make_synthetic_root,
+        make_test_tokenizer,
+        synthetic_spec,
+    )
+    from vibertgrid_tpu.eval.cli import evaluate
+    from tests.test_train_driver import tiny_hyp
+
+    from vibertgrid_tpu.data.synthetic import make_synthetic_root as _msr
+    from vibertgrid_tpu.train.checkpoint import CheckpointManager
+    from vibertgrid_tpu.train.driver import build_all, build_tokenizer
+    from vibertgrid_tpu.train.optim import make_optimizer
+    from vibertgrid_tpu.train.state import create_train_state
+    from vibertgrid_tpu.data import KIEDataset, data_loader
+
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=2, n_test=2, seed=0)
+    hyp = tiny_hyp(root)
+    hyp["result_dir"] = str(tmp_path / "result")
+
+    # save a fresh-state checkpoint the CLI can load (eval requires weights,
+    # mirroring eval_SROIE.py:333-340)
+    spec = synthetic_spec()
+    tokenizer = build_tokenizer(hyp)
+    spec2, cfg, model, transform, collator, _ = build_all(
+        hyp, spec.name, tokenizer, spec
+    )
+    test_ds = KIEDataset(root + "/test", spec2, tokenizer, train=False)
+    sample, _ = next(iter(data_loader(test_ds, collator, 1, train=False)))
+    optimizer = make_optimizer(hyp, 1, 1)
+    state = create_train_state(model, optimizer, sample, seed=0)
+    ckpt = CheckpointManager(str(tmp_path / "w"))
+    path = ckpt.save(state, tag="smoke")
+    hyp["weights"] = path
+
+    results = evaluate(hyp, "sroie", spec=synthetic_spec())
+    assert "primary_F1" in results and np.isfinite(results["primary_F1"])
+    import os as _os
+    assert _os.path.exists(_os.path.join(hyp["result_dir"], "smoke.json"))

@@ -257,3 +257,76 @@ class TestSplitPointwise:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestNormLayers:
+    """The bf16-I/O norms must equal flax's modules exactly in fp32 mode
+    (same param/batch_stats trees) and stay close in bf16."""
+
+    def test_batchnorm_matches_flax_fp32(self):
+        import flax.linen as nn
+        from vibertgrid_tpu.models.norm import BatchNorm
+
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 6, 6, 16)), jnp.float32
+        )
+        ours = BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        theirs = nn.BatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )
+        vo = ours.init(jax.random.PRNGKey(0), x)
+        vt = theirs.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(vo) == jax.tree_util.tree_structure(vt)
+        yo, so = ours.apply(vo, x, mutable=["batch_stats"])
+        yt, st = theirs.apply(vt, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yt), atol=2e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(so), jax.tree_util.tree_leaves(st)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+        # eval mode
+        yo = ours.apply(vo, x)  # use_running_average=False is a ctor arg...
+        ye_ours = BatchNorm(use_running_average=True).apply(vo, x)
+        ye_flax = nn.BatchNorm(use_running_average=True, dtype=jnp.float32).apply(vt, x)
+        np.testing.assert_allclose(
+            np.asarray(ye_ours), np.asarray(ye_flax), atol=2e-6
+        )
+
+    def test_layernorm_matches_flax_fp32(self):
+        import flax.linen as nn
+        from vibertgrid_tpu.models.norm import LayerNorm
+
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((8, 32)), jnp.float32
+        )
+        ours = LayerNorm(epsilon=1e-12)
+        theirs = nn.LayerNorm(epsilon=1e-12, dtype=jnp.float32)
+        vo = ours.init(jax.random.PRNGKey(0), x)
+        vt = theirs.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(vo) == jax.tree_util.tree_structure(vt)
+        np.testing.assert_allclose(
+            np.asarray(ours.apply(vo, x)),
+            np.asarray(theirs.apply(vt, x)),
+            atol=2e-6,
+        )
+
+    def test_bf16_io_dtype_and_accuracy(self):
+        from vibertgrid_tpu.models.norm import BatchNorm, LayerNorm
+
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((4, 8, 8, 32)), jnp.bfloat16
+        )
+        bn = BatchNorm(use_running_average=False, dtype=jnp.bfloat16)
+        v = bn.init(jax.random.PRNGKey(0), x)
+        y, _ = bn.apply(v, x, mutable=["batch_stats"])
+        assert y.dtype == jnp.bfloat16
+        yf = BatchNorm(use_running_average=False, dtype=jnp.float32).apply(
+            v, x.astype(jnp.float32), mutable=["batch_stats"]
+        )[0]
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32), np.asarray(yf), atol=0.05
+        )
+        ln = LayerNorm(dtype=jnp.bfloat16)
+        vl = ln.init(jax.random.PRNGKey(0), x[0, 0])
+        assert ln.apply(vl, x[0, 0]).dtype == jnp.bfloat16

@@ -68,9 +68,10 @@ def evaluate(hyp: dict, dataset: str, spec=None, state=None) -> dict:
         f"recall[{results.get('recall', 0):.4f}] "
         f"F1[{results.get('primary_F1', 0):.4f}]"
     )
-    os.makedirs("result", exist_ok=True)
+    result_dir = hyp.get("result_dir", "result")
+    os.makedirs(result_dir, exist_ok=True)
     tag = os.path.basename(hyp.get("weights", "eval")).replace("/", "_") or "eval"
-    out_path = os.path.join("result", tag + ".json")
+    out_path = os.path.join(result_dir, tag + ".json")
     serializable = {
         k: v for k, v in results.items() if k not in ("final_state",)
     }

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vibertgrid_tpu.models.norm import LayerNorm
 from vibertgrid_tpu.ops.dropout import derive_seed, hash_dropout
 
 
@@ -171,8 +172,8 @@ class EncoderLayer(nn.Module):
             hidden, attn_bias, deterministic
         )
         attn = HashDropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_ln"
+        hidden = LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
         )(hidden + attn)
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
             hidden
@@ -180,8 +181,8 @@ class EncoderLayer(nn.Module):
         inter = nn.gelu(inter, approximate=False)
         out = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output")(inter)
         out = HashDropout(cfg.hidden_dropout)(out, deterministic=deterministic)
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_ln"
+        hidden = LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="output_ln"
         )(hidden + out)
         return hidden
 
@@ -217,8 +218,8 @@ class TextEncoder(nn.Module):
         typ = nn.Embed(
             cfg.type_vocab_size, cfg.hidden_size, name="token_type_embeddings"
         )(token_type_ids)
-        hidden = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="embeddings_ln"
+        hidden = LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="embeddings_ln"
         )(word + pos + typ)
         hidden = HashDropout(cfg.hidden_dropout)(hidden, deterministic=deterministic)
         hidden = hidden.astype(self.dtype)

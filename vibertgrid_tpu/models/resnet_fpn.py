@@ -29,6 +29,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vibertgrid_tpu.models.norm import BatchNorm
+
 
 def _upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return x.repeat(scale, axis=1).repeat(scale, axis=2)
@@ -104,9 +106,9 @@ class ResBlock(nn.Module):
             c, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
         )
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name,
+            dtype=self.dtype, name=name,
         )
         stride = 2 if self.downsample else 1
         h = conv(self.out_channels, 3, stride, "conv1")(x)
@@ -149,9 +151,9 @@ class ResNetFPN(nn.Module):
             c, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=bias, dtype=self.dtype, name=name,
         )
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name,
+            dtype=self.dtype, name=name,
         )
 
         def stage(x, channels, n_blocks, downsample, name):

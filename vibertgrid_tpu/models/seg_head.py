@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from vibertgrid_tpu.models.norm import BatchNorm
 from vibertgrid_tpu.ops.rasterize import rasterize_label_maps
 from vibertgrid_tpu.ops.losses import (
     bce_ohem_pooled,
@@ -51,9 +52,9 @@ class _SegEncoder(nn.Module):
                 p_fuse.shape[-1], (3, 3), padding="SAME", use_bias=False,
                 dtype=self.dtype, name=f"conv{i + 1}",
             )(x)
-            x = nn.BatchNorm(
+            x = BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name=f"bn{i + 1}",
+                dtype=self.dtype, name=f"bn{i + 1}",
             )(x)
             x = nn.relu(x)
         mask_logits = nn.Conv(3, (1, 1), dtype=self.dtype, name="mask_proj")(x)

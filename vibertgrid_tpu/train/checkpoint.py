@@ -48,7 +48,10 @@ class CheckpointManager:
 
     def save(self, state: TrainState, tag: str = "latest", **meta) -> str:
         path = self._path(tag)
-        self._ckpt.save(path, {"state": state, "meta": dict(meta)}, force=True)
+        # always include the restore-template keys (restore() uses a fixed
+        # meta template; a bare save() must produce a loadable checkpoint)
+        full_meta = {"epoch": 0, "f1": 0.0, **meta}
+        self._ckpt.save(path, {"state": state, "meta": full_meta}, force=True)
         self._ckpt.wait_until_finished()
         return path
 
