@@ -205,3 +205,28 @@ def test_prefetch_to_device_order_and_errors():
 
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_fast_tokenizer_parity(tmp_path):
+    """BertTokenizerFast must produce the same wordpieces/ids as the slow
+    tokenizer the reference uses (the driver defaults to fast)."""
+    from vibertgrid_tpu.data.synthetic import write_vocab
+    from vibertgrid_tpu.train.driver import build_tokenizer
+
+    vocab = write_vocab(str(tmp_path))
+    slow = build_tokenizer(
+        {"tokenizer_path": vocab, "bert_version": "bert-base-uncased",
+         "fast_tokenizer": False}
+    )
+    fast = build_tokenizer(
+        {"tokenizer_path": vocab, "bert_version": "bert-base-uncased"}
+    )
+    assert type(fast).__name__ == "BertTokenizerFast"
+    texts = [
+        "total 12.50", "DATE: 2021-03-04", "lorem ipsum dolor",
+        "company ltd.", "unknownword xyzzy", "a,b;c", "  spaced  out  ",
+    ]
+    for t in texts:
+        ts, tf = slow.tokenize(t), fast.tokenize(t)
+        assert ts == tf, (t, ts, tf)
+        assert slow.convert_tokens_to_ids(ts) == fast.convert_tokens_to_ids(tf)

@@ -54,15 +54,32 @@ from vibertgrid_tpu.utils.logging import MetricsLogger, TerminalLogger, setup_se
 
 def build_tokenizer(hyp: dict):
     """Local tokenizer only (no hub). ``tokenizer_path`` points at a dir with
-    vocab/tokenizer files; falls back to bert_version as a local path."""
-    from transformers import BertTokenizer, RobertaTokenizer
+    vocab/tokenizer files; falls back to bert_version as a local path.
 
+    Defaults to the Rust-backed fast tokenizers (GIL-free — segment
+    tokenization is the host pipeline's serial bottleneck, and fast releases
+    it so ``num_workers`` parallelises tokenization too). ``fast_tokenizer:
+    false`` restores the reference's slow Python tokenizers
+    (train_SROIE.py:147-150); outputs are parity-tested.
+    """
+    from transformers import (
+        BertTokenizer,
+        BertTokenizerFast,
+        RobertaTokenizer,
+        RobertaTokenizerFast,
+    )
+
+    fast = hyp.get("fast_tokenizer", True)
     path = hyp.get("tokenizer_path") or hyp["bert_version"]
     if "roberta" in hyp["bert_version"]:
-        return RobertaTokenizer.from_pretrained(path)
+        cls = RobertaTokenizerFast if fast else RobertaTokenizer
+        return cls.from_pretrained(path)
     if os.path.isfile(path):  # bare vocab.txt
+        if fast:
+            return BertTokenizerFast(vocab_file=path)
         return BertTokenizer(path)
-    return BertTokenizer.from_pretrained(path)
+    cls = BertTokenizerFast if fast else BertTokenizer
+    return cls.from_pretrained(path)
 
 
 def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
