@@ -345,7 +345,7 @@ class TestPooledLosses:
 
     B, H4, W4, C, BLOCK = 2, 8, 12, 5, 4
 
-    def _cells(self, c=None):
+    def _cells(self, c=None, with_overflow=False):
         c = c or self.C
         logits4 = RNG.standard_normal((self.B, self.H4, self.W4, c)).astype(
             np.float32
@@ -353,6 +353,10 @@ class TestPooledLosses:
         targets = RNG.integers(
             0, c, (self.B, self.H4 * self.BLOCK, self.W4 * self.BLOCK)
         ).astype(np.int32)
+        if with_overflow:
+            # a few out-of-range class ids (dataset tag id >= num_classes):
+            # unpooled CE gives loss = logsumexp for them; pooled must match.
+            targets[0, :3, :2] = c + 1
         return jnp.asarray(logits4), jnp.asarray(targets)
 
     def _full(self, logits4, c):
@@ -364,7 +368,7 @@ class TestPooledLosses:
 
         for kp, kn, random in [(-1, -1, False), (40, 60, False), (7, 5, True),
                                (10**7, 10**7, False)]:
-            logits4, targets = self._cells()
+            logits4, targets = self._cells(with_overflow=True)
             key = jax.random.PRNGKey(3)
             valid = jnp.ones((targets.size,), bool)
             want = cross_entropy_ohem(
@@ -401,7 +405,7 @@ class TestPooledLosses:
 
         for c, sample_list in [(3, [17, 23, 11]), (3, [10**7] * 3),
                                (5, [64, 32, 16, 8, 4]), (4, [40, 60])]:
-            logits4, targets = self._cells(c)
+            logits4, targets = self._cells(c, with_overflow=(c == 4))
             key = jax.random.PRNGKey(9)
             valid = jnp.ones((targets.size,), bool)
             want = cross_entropy_random_sample(

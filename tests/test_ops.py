@@ -285,8 +285,12 @@ class TestNormLayers:
             jax.tree_util.tree_leaves(so), jax.tree_util.tree_leaves(st)
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+        # training mode without mutable batch_stats must raise (flax parity)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ours.apply(vo, x)
         # eval mode
-        yo = ours.apply(vo, x)  # use_running_average=False is a ctor arg...
         ye_ours = BatchNorm(use_running_average=True).apply(vo, x)
         ye_flax = nn.BatchNorm(use_running_average=True, dtype=jnp.float32).apply(vt, x)
         np.testing.assert_allclose(

@@ -59,7 +59,15 @@ class BatchNorm(nn.Module):
             # flax convention: biased variance via E[x²] − E[x]².
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
             initializing = self.is_mutable_collection("params")
-            if not initializing and self.is_mutable_collection("batch_stats"):
+            if not initializing:
+                if not self.is_mutable_collection("batch_stats"):
+                    # flax nn.BatchNorm raises here too (variable write into
+                    # an immutable collection); never silently train with
+                    # frozen running statistics.
+                    raise ValueError(
+                        "BatchNorm in training mode requires "
+                        "mutable=['batch_stats']"
+                    )
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
@@ -125,7 +133,12 @@ class MaskedBatchNorm(nn.Module):
             diff = (x.astype(jnp.float32) - mean) * m
             var = jnp.sum(diff * diff, axis=tuple(range(x.ndim - 1))) / denom
             is_init = self.is_mutable_collection("params")
-            if not is_init and self.is_mutable_collection("batch_stats"):
+            if not is_init:
+                if not self.is_mutable_collection("batch_stats"):
+                    raise ValueError(
+                        "MaskedBatchNorm in training mode requires "
+                        "mutable=['batch_stats']"
+                    )
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:

@@ -29,17 +29,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _mask(shape, seed, rate, dtype):
-    """Keep-mask ⊙ 1/(1-rate) from a splitmix32-style hash of (seed, index).
+def splitmix32(x: jax.Array, seed: jax.Array) -> jax.Array:
+    """Splitmix32-style finalizer of (seed, counter): uint32 → uint32.
 
-    Same finalizer as flash_attention._dropout_mask (distinct seeds keep the
-    streams independent)."""
-    n = int(np.prod(shape))
-    x = jax.lax.iota(jnp.uint32, n)
+    Every step (seed xor, xor-shift mixes, odd-constant multiplies) is a
+    bijection on uint32, so distinct inputs give distinct outputs for a
+    fixed seed — the sampled losses rely on that for tie-free threshold
+    selection. Shared by :func:`hash_dropout`, the in-kernel attention-prob
+    dropout (ops/flash_attention.py), and the sampled-loss key streams
+    (ops/losses._hash_bits); distinct seeds keep the streams independent.
+    """
     x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
     x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    return x ^ (x >> 16)
+
+
+def _mask(shape, seed, rate, dtype):
+    """Keep-mask ⊙ 1/(1-rate) from :func:`splitmix32` of (seed, index)."""
+    n = int(np.prod(shape))
+    x = splitmix32(jax.lax.iota(jnp.uint32, n), seed)
     threshold = jnp.uint32(int(rate * float(2**32)))
     scale = jnp.asarray(1.0 / (1.0 - rate), dtype)
     return jnp.where(x >= threshold, scale, jnp.zeros((), dtype)).reshape(shape)

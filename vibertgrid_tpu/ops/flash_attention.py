@@ -66,13 +66,11 @@ def _dropout_mask(seed, shape, rate):
     backward kernel reproduces the identical mask by construction — it hashes
     the same indices — and (b) the same code runs under interpret mode on CPU
     (``pltpu.prng_seed`` has no CPU lowering)."""
+    from vibertgrid_tpu.ops.dropout import splitmix32
+
     rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = rows * jnp.uint32(shape[1]) + cols
-    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    x = splitmix32(rows * jnp.uint32(shape[1]) + cols, seed)
     threshold = jnp.uint32(int(rate * float(2**32)))
     return jnp.where(x >= threshold, 1.0 / (1.0 - rate), 0.0)
 

@@ -136,19 +136,14 @@ def _hash_bits(n: int, key) -> jax.Array:
 
     Replaces ``jax.random.bits`` (threefry is ~12 ops/word; these streams run
     at full label resolution — 1.5M pixels × several categories per step at
-    bench shapes; one scalar threefry draw seeds the stream). Every step of
-    the finalizer is a bijection on uint32 (xor-shift mixes and odd-constant
-    multiplies), so for a fixed seed the n keys are pairwise DISTINCT — the
+    bench shapes; one scalar threefry draw seeds the stream). The finalizer
+    is a bijection on uint32 (see :func:`vibertgrid_tpu.ops.dropout.
+    splitmix32`), so for a fixed seed the n keys are pairwise DISTINCT — the
     threshold selections below can rely on at most one element ever tying
     the k-th key."""
-    from vibertgrid_tpu.ops.dropout import derive_seed
+    from vibertgrid_tpu.ops.dropout import derive_seed, splitmix32
 
-    seed = derive_seed(key)
-    x = jax.lax.iota(jnp.uint32, n)
-    x = x ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    return x ^ (x >> 16)
+    return splitmix32(jax.lax.iota(jnp.uint32, n), derive_seed(key))
 
 
 def _random_subsample_masks(cat_masks, limits, key):
@@ -282,12 +277,27 @@ def _block_sum(x, block):
 
 
 def _cell_ce_values(logits4, weight=None):
-    """``[..., C]`` per-class CE value table: ``CE(logits, c)`` for each c."""
+    """``[..., C+1]`` per-class CE value table: ``CE(logits, c)`` for each
+    class plus an OVERFLOW column (index C) holding the loss of a target
+    outside ``[0, C)`` — torch/unpooled semantics: the one-hot gold select
+    yields 0, so the loss is plain ``logsumexp`` (and the class-weight lookup
+    yields 0, zeroing the weighted loss)."""
     logits4 = logits4.astype(jnp.float32)
-    vals = jax.nn.logsumexp(logits4, axis=-1, keepdims=True) - logits4
+    logz = jax.nn.logsumexp(logits4, axis=-1, keepdims=True)
+    vals = logz - logits4
     if weight is not None:
         vals = vals * jnp.asarray(weight, jnp.float32)
-    return vals
+        over = jnp.zeros_like(logz)
+    else:
+        over = logz
+    return jnp.concatenate([vals, over], axis=-1)
+
+
+def _class_count_masks(targets, c):
+    """Per-class pixel masks incl. the overflow bucket (targets ∉ [0, C))."""
+    masks = [targets == ci for ci in range(c)]
+    masks.append((targets < 0) | (targets >= c))
+    return masks
 
 
 def cross_entropy_ohem_pooled(
@@ -320,18 +330,19 @@ def cross_entropy_ohem_pooled(
         targets: ``[B, h·block, w·block]`` int pixel labels.
     """
     c = logits4.shape[-1]
-    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C]
+    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C+1]
+    cmasks = _class_count_masks(targets, c)
 
     if num_hard_positive == -1 and num_hard_negative == -1:
         counts = jnp.stack(
-            [_block_sum((targets == ci).astype(jnp.int32), block) for ci in range(c)],
-            axis=-1,
-        )  # [B, h, w, C]
+            [_block_sum(m.astype(jnp.int32), block) for m in cmasks], axis=-1
+        )  # [B, h, w, C+1]
         total = jnp.sum(counts.astype(jnp.float32) * vals)
         if weight is not None:
-            wsum = jnp.sum(
-                counts.astype(jnp.float32) * jnp.asarray(weight, jnp.float32)
+            w_ext = jnp.concatenate(
+                [jnp.asarray(weight, jnp.float32), jnp.zeros((1,))]
             )
+            wsum = jnp.sum(counts.astype(jnp.float32) * w_ext)
             return total / jnp.maximum(wsum, 1e-12)
         return total / jnp.maximum(jnp.sum(counts).astype(jnp.float32), 1.0)
 
@@ -346,11 +357,12 @@ def cross_entropy_ohem_pooled(
     neg_mask = neg_mask.reshape(targets.shape)
 
     # Per-(cell, class) pixel counts of each side's (possibly subsampled)
-    # selection. The negative side only ever holds class-0 pixels.
+    # selection. The negative side only ever holds class-0 pixels; the
+    # positive side covers classes 1..C-1 plus the overflow bucket.
     pos_counts = jnp.stack(
         [
-            _block_sum((pos_mask & (targets == ci)).astype(jnp.int32), block)
-            for ci in range(1, c)
+            _block_sum((pos_mask & m).astype(jnp.int32), block)
+            for m in cmasks[1:]
         ],
         axis=-1,
     )
@@ -374,12 +386,12 @@ def cross_entropy_random_sample_pooled(
     """:func:`cross_entropy_random_sample` over block-upsampled logits,
     exactly, at cell cost (see :func:`cross_entropy_ohem_pooled`)."""
     c = logits4.shape[-1]
-    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C]
+    vals = _cell_ce_values(logits4, weight)  # [B, h, w, C+1]
+    cmasks = _class_count_masks(targets, c)
 
     if sample_list is None:
         counts = jnp.stack(
-            [_block_sum((targets == ci).astype(jnp.int32), block) for ci in range(c)],
-            axis=-1,
+            [_block_sum(m.astype(jnp.int32), block) for m in cmasks], axis=-1
         )
         total = jnp.sum(counts.astype(jnp.float32) * vals)
         return total / jnp.maximum(jnp.sum(counts).astype(jnp.float32), 1.0)
@@ -390,8 +402,9 @@ def cross_entropy_random_sample_pooled(
     if num_cats == 2 and c >= 2:
         cat_masks = [flat == 0, flat != 0]
         # category loss value for a pixel is CE at its own class, so the
-        # "!= 0" category needs per-class counts.
-        cat_classes = [[0], list(range(1, c))]
+        # "!= 0" category needs per-class counts (incl. the overflow bucket,
+        # which the unpooled loss also sweeps into the != 0 category).
+        cat_classes = [[0], list(range(1, c + 1))]
     else:
         assert num_cats == c, (
             f"sample_list length {num_cats} must be 2 or match the class "
@@ -407,7 +420,7 @@ def cross_entropy_random_sample_pooled(
         kept = kept.reshape(targets.shape)
         for ci in classes:
             kc = _block_sum(
-                (kept & (targets == ci)).astype(jnp.int32), block
+                (kept & cmasks[ci]).astype(jnp.int32), block
             ).astype(jnp.float32)
             total = total + jnp.sum(kc * vals[..., ci])
             count = count + jnp.sum(kc)
@@ -436,10 +449,7 @@ def bce_ohem_pooled(
     logits4 = logits4.astype(jnp.float32)
     # vals[..., j] = BCE(logit, target=j)
     vals = jnp.stack(
-        [
-            jnp.maximum(logits4, 0) - logits4 * t + jnp.log1p(jnp.exp(-jnp.abs(logits4)))
-            for t in (0.0, 1.0)
-        ],
+        [_bce_per_example(logits4, jnp.full_like(logits4, t)) for t in (0.0, 1.0)],
         axis=-1,
     )
 

@@ -4,12 +4,15 @@ The reference saves a dict of model/optimizers/schedulers/epoch/scaler
 rank-0-only when ``F1 > top_F1_tresh or epoch % 10 == 0``, encoding the
 metric in the filename (``/root/reference/train_SROIE.py:374-416``), and
 resumes all of it (``:277-298``). Here the train state pytree (params, BN
-stats, dual-optimizer state, step) plus metadata goes through Orbax; schedule
-arrays need no saving (they are pure functions of the step).
+stats, dual-optimizer state, step) goes through Orbax; metadata (epoch, f1,
+anything the caller adds) lives in a JSON sidecar so its keys never have to
+match a restore template; schedule arrays need no saving (they are pure
+functions of the step).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -17,6 +20,8 @@ import jax
 import orbax.checkpoint as ocp
 
 from vibertgrid_tpu.train.state import TrainState
+
+_META_FILE = "meta.json"
 
 
 class CheckpointManager:
@@ -29,6 +34,13 @@ class CheckpointManager:
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
 
+    def _write(self, path: str, state: TrainState, meta: dict) -> str:
+        self._ckpt.save(path, {"state": state}, force=True)
+        self._ckpt.wait_until_finished()
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump(meta, f)
+        return path
+
     def maybe_save(
         self, state: TrainState, epoch: int, f1: float, extra: dict | None = None
     ) -> str | None:
@@ -38,22 +50,12 @@ class CheckpointManager:
         if f1 > self.top_f1_thresh:
             self.top_f1_thresh = f1
         tag = f"epoch{epoch}_F1_{f1:.4f}"
-        path = self._path(tag)
-        self._ckpt.save(
-            path, {"state": state, "meta": {"epoch": epoch, "f1": f1, **(extra or {})}},
-            force=True,
+        return self._write(
+            self._path(tag), state, {"epoch": epoch, "f1": f1, **(extra or {})}
         )
-        self._ckpt.wait_until_finished()
-        return path
 
     def save(self, state: TrainState, tag: str = "latest", **meta) -> str:
-        path = self._path(tag)
-        # always include the restore-template keys (restore() uses a fixed
-        # meta template; a bare save() must produce a loadable checkpoint)
-        full_meta = {"epoch": 0, "f1": 0.0, **meta}
-        self._ckpt.save(path, {"state": state, "meta": full_meta}, force=True)
-        self._ckpt.wait_until_finished()
-        return path
+        return self._write(self._path(tag), state, dict(meta))
 
     def restore(self, tag_or_path: str, template: Any) -> tuple[TrainState, dict]:
         path = (
@@ -61,10 +63,13 @@ class CheckpointManager:
             if os.path.isabs(tag_or_path)
             else self._path(tag_or_path)
         )
-        restored = self._ckpt.restore(
-            path, {"state": template, "meta": {"epoch": 0, "f1": 0.0}}
-        )
-        return restored["state"], restored["meta"]
+        restored = self._ckpt.restore(path, {"state": template})
+        meta_path = os.path.join(path, _META_FILE)
+        meta: dict = {"epoch": 0, "f1": 0.0}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta.update(json.load(f))
+        return restored["state"], meta
 
     def latest_best(self) -> str | None:
         entries = [e for e in os.listdir(self.directory) if e.startswith("epoch")]

@@ -162,22 +162,26 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         )
 
     tokenizer = build_tokenizer(hyp)
-    n_mesh_devices = hyp.get("mesh_model", 1) * (
-        hyp.get("mesh_data") or len(jax.devices())
-    )
-    if n_mesh_devices > 1 and hyp.get("attention_impl", "auto") == "auto":
+    batch_size = hyp.get("batch_size", 2)
+    model_axis = hyp.get("mesh_model", 1)
+    data_axis = hyp.get("mesh_data")
+    if data_axis is None:
+        # largest data-parallel degree that divides the batch size
+        avail = max(len(jax.devices()) // model_axis, 1)
+        data_axis = next(d for d in range(min(avail, batch_size), 0, -1)
+                         if batch_size % d == 0)
+    if data_axis * model_axis > 1 and hyp.get("attention_impl", "auto") == "auto":
         # GSPMD cannot partition a pallas_call: under head-sharded tensor
         # parallelism the fused kernel would force all-gathers of the sharded
         # activations, and even pure data parallelism would replicate the
         # batch into every kernel invocation. Any multi-device mesh therefore
         # keeps the einsum path, which GSPMD partitions along batch/heads for
-        # free; the fused kernel is the single-chip fast path.
+        # free; the fused kernel stays the single-chip (1x1 mesh) fast path.
         hyp = dict(hyp, attention_impl="xla")
     spec, cfg, model, transform, collator, tag_to_idx = build_all(
         hyp, dataset, tokenizer, spec
     )
     data_root = hyp["data_root"]
-    batch_size = hyp.get("batch_size", 2)
     start_epoch = hyp.get("start_epoch", 0)
     end_epoch = hyp.get("end_epoch", 1)
     eval_mode = hyp.get("eval_mode", spec.default_eval_mode)
@@ -196,13 +200,6 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         os.path.join(data_root, "test"), spec, tokenizer, train=False
     )
 
-    model_axis = hyp.get("mesh_model", 1)
-    data_axis = hyp.get("mesh_data")
-    if data_axis is None:
-        # largest data-parallel degree that divides the batch size
-        avail = len(jax.devices()) // model_axis
-        data_axis = next(d for d in range(min(avail, batch_size), 0, -1)
-                         if batch_size % d == 0)
     mesh = make_mesh(data=data_axis, model=model_axis)
     niter_per_ep = max(len(train_ds) // batch_size, 1)
     optimizer = make_optimizer(hyp, end_epoch, niter_per_ep)
