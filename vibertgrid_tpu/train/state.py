@@ -89,11 +89,21 @@ def make_train_step(
             state.params
         )
 
-        gnorm = optax.global_norm(grads)
-        scale = jnp.where(
-            (loss > loss_clip_tresh) & (gnorm > clip_norm),
-            clip_norm / jnp.maximum(gnorm, 1e-12),
-            1.0,
+        # Reference rule: clip only when the loss spikes
+        # (train_val_utils.py:280-282). The global norm reads every gradient
+        # (~0.6 GB at flagship scale) — behind lax.cond it is only computed
+        # on spike steps; the scalar rescale fuses into the optimizer update.
+        def clip_scale(g):
+            gnorm = optax.global_norm(g)
+            return jnp.where(
+                gnorm > clip_norm, clip_norm / jnp.maximum(gnorm, 1e-12), 1.0
+            )
+
+        scale = jax.lax.cond(
+            loss > loss_clip_tresh,
+            clip_scale,
+            lambda g: jnp.ones((), jnp.float32),
+            grads,
         )
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
