@@ -106,4 +106,73 @@ void pad_batch_f32(const float* src, int h, int w, int c, float* dst, int bh,
   }
 }
 
+// Fused resize + per-channel normalize: o = (bilinear(src) - mean) / std.
+// Saves three full numpy passes (subtract, divide, astype) per sample in
+// the collation hot loop. Same taps as bilinear_resize_f32; oh==h && ow==w
+// degenerates to a pure normalize copy.
+void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
+                              float* dst, int oh, int ow, const float* mean,
+                              const float* std_) {
+  float inv_std_local[16];
+  float* inv_std = inv_std_local;
+  float* heap = nullptr;
+  if (c > 16) {
+    heap = new float[c];
+    inv_std = heap;
+  }
+  for (int k = 0; k < c; ++k) inv_std[k] = 1.0f / std_[k];
+
+  if (oh == h && ow == w) {
+    const size_t n = static_cast<size_t>(h) * w;
+    for (size_t p = 0; p < n; ++p) {
+      const float* s = src + p * c;
+      float* o = dst + p * c;
+      for (int k = 0; k < c; ++k) o[k] = (s[k] - mean[k]) * inv_std[k];
+    }
+    delete[] heap;
+    return;
+  }
+
+  const double sy = static_cast<double>(h) / oh;
+  const double sx = static_cast<double>(w) / ow;
+  int* xlo = new int[ow];
+  int* xhi = new int[ow];
+  float* xf = new float[ow];
+  for (int j = 0; j < ow; ++j) {
+    double srcx = (j + 0.5) * sx - 0.5;
+    srcx = std::min(std::max(srcx, 0.0), static_cast<double>(w - 1));
+    int lo = static_cast<int>(std::floor(srcx));
+    xlo[j] = lo;
+    xhi[j] = std::min(lo + 1, w - 1);
+    xf[j] = static_cast<float>(srcx - lo);
+  }
+  for (int i = 0; i < oh; ++i) {
+    double srcy = (i + 0.5) * sy - 0.5;
+    srcy = std::min(std::max(srcy, 0.0), static_cast<double>(h - 1));
+    const int ylo = static_cast<int>(std::floor(srcy));
+    const int yhi = std::min(ylo + 1, h - 1);
+    const float fy = static_cast<float>(srcy - ylo);
+    const float* top_row = src + static_cast<size_t>(ylo) * w * c;
+    const float* bot_row = src + static_cast<size_t>(yhi) * w * c;
+    float* out_row = dst + static_cast<size_t>(i) * ow * c;
+    for (int j = 0; j < ow; ++j) {
+      const float fx = xf[j];
+      const float* tl = top_row + static_cast<size_t>(xlo[j]) * c;
+      const float* tr = top_row + static_cast<size_t>(xhi[j]) * c;
+      const float* bl = bot_row + static_cast<size_t>(xlo[j]) * c;
+      const float* br = bot_row + static_cast<size_t>(xhi[j]) * c;
+      float* o = out_row + static_cast<size_t>(j) * c;
+      for (int k = 0; k < c; ++k) {
+        const float topv = tl[k] * (1.0f - fx) + tr[k] * fx;
+        const float botv = bl[k] * (1.0f - fx) + br[k] * fx;
+        o[k] = (topv * (1.0f - fy) + botv * fy - mean[k]) * inv_std[k];
+      }
+    }
+  }
+  delete[] xlo;
+  delete[] xhi;
+  delete[] xf;
+  delete[] heap;
+}
+
 }  // extern "C"

@@ -61,3 +61,23 @@ def test_native_faster_than_numpy_resize():
     t_numpy = time.perf_counter() - t0
     # informational bound: native should not be slower than numpy by >2x
     assert t_native < 2 * t_numpy, (t_native, t_numpy)
+
+
+def test_bilinear_resize_norm_matches_unfused():
+    from vibertgrid_tpu.data import native
+
+    rng = np.random.default_rng(5)
+    img = rng.random((37, 53, 3)).astype(np.float32)
+    mean = np.asarray([0.9, 0.8, 0.7], np.float32)
+    std = np.asarray([0.2, 0.25, 0.3], np.float32)
+    for oh, ow in [(20, 30), (37, 53)]:
+        want = (native.bilinear_resize(img, oh, ow) - mean) / std
+        got = native.bilinear_resize_norm(img, oh, ow, mean, std)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+        # numpy fallback path agrees too
+        native.set_enabled(False)
+        try:
+            got_np = native.bilinear_resize_norm(img, oh, ow, mean, std)
+        finally:
+            native.set_enabled(True)
+        np.testing.assert_allclose(got_np, want, rtol=2e-6, atol=2e-6)

@@ -79,3 +79,38 @@ def test_train_driver_smoke(tmp_path):
     hyp2["end_epoch"] = 3
     results2 = train(hyp2, "sroie", spec=synthetic_spec(), max_steps=2)
     assert np.isfinite(results2["primary_F1"])
+
+
+def test_train_driver_crf_bio_smoke(tmp_path):
+    """The CRF classifier + BIO tag path end-to-end: train a couple of steps
+    and validate with seqeval (the only metric the CRF head supports,
+    train_SROIE.py:134-137)."""
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=3)
+    hyp = tiny_hyp(root)
+    hyp.update(
+        save_top=str(tmp_path / "w"),
+        save_log=str(tmp_path / "l"),
+        classifier_mode="crf",
+        tag_mode="BIO",
+        eval_mode="seqeval",
+        end_epoch=1,
+    )
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])
+    assert results["loss"] is None or np.isfinite(results["loss"])
+
+
+def test_train_driver_full_head_smoke(tmp_path):
+    """The paper's two-stage 'full' classifier + full seg head end-to-end."""
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=4)
+    hyp = tiny_hyp(root)
+    hyp.update(
+        save_top=str(tmp_path / "w"),
+        save_log=str(tmp_path / "l"),
+        classifier_mode="full",
+        end_epoch=1,
+    )
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])

@@ -40,6 +40,9 @@ def _load():
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         c = ctypes.c_int
         lib.bilinear_resize_f32.argtypes = [f32p, c, c, c, f32p, c, c]
+        lib.bilinear_resize_norm_f32.argtypes = [
+            f32p, c, c, c, f32p, c, c, f32p, f32p
+        ]
         lib.rasterize_winner_i32.argtypes = [i32p, u8p, c, i32p, c, c, c]
         lib.pad_batch_f32.argtypes = [f32p, c, c, c, f32p, c, c, c]
         _lib = lib
@@ -70,6 +73,31 @@ def bilinear_resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         return src
     dst = np.empty((out_h, out_w, c), np.float32)
     lib.bilinear_resize_f32(src, h, w, c, dst, out_h, out_w)
+    return dst
+
+
+def bilinear_resize_norm(
+    image: np.ndarray,
+    out_h: int,
+    out_w: int,
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> np.ndarray:
+    """Fused torch-semantics bilinear resize + per-channel normalization
+    (``(resize(image) - mean) / std``) — one pass, no intermediate arrays."""
+    lib = _load() if _enabled else None
+    if lib is None:
+        out = bilinear_resize(image, out_h, out_w)
+        return ((out - np.asarray(mean, np.float32))
+                / np.asarray(std, np.float32)).astype(np.float32)
+    src = np.ascontiguousarray(image, np.float32)
+    h, w, c = src.shape
+    dst = np.empty((out_h, out_w, c), np.float32)
+    lib.bilinear_resize_norm_f32(
+        src, h, w, c, dst, out_h, out_w,
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32),
+    )
     return dst
 
 

@@ -84,10 +84,11 @@ class ImageTransform:
 
         from vibertgrid_tpu.data import native
 
-        resized = native.bilinear_resize(image, out_h, out_w)
-        mean = np.asarray(self.image_mean, np.float32)
-        std = np.asarray(self.image_std, np.float32)
-        resized = (resized - mean) / std
+        resized = native.bilinear_resize_norm(
+            image, out_h, out_w,
+            np.asarray(self.image_mean, np.float32),
+            np.asarray(self.image_std, np.float32),
+        )
 
         if len(boxes):
             b = boxes.astype(np.float64).copy()
@@ -96,7 +97,7 @@ class ImageTransform:
             boxes = b.astype(np.int32)
         else:
             boxes = np.zeros((0, 4), np.int32)
-        return resized.astype(np.float32), boxes, (out_h, out_w)
+        return resized, boxes, (out_h, out_w)
 
 
 def bucket_hw(h: int, w: int, multiple: int = 64) -> tuple[int, int]:
