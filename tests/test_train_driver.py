@@ -114,3 +114,27 @@ def test_train_driver_full_head_smoke(tmp_path):
     )
     results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
     assert np.isfinite(results["primary_F1"])
+
+
+def test_train_driver_zero1_mesh_smoke(tmp_path):
+    """Driver with yaml zero1 + an explicit 2-device data mesh: optimizer
+    state shards and training/validation still run end-to-end."""
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=5)
+    hyp = tiny_hyp(root)
+    hyp.update(
+        save_top=str(tmp_path / "w"),
+        save_log=str(tmp_path / "l"),
+        zero1=True,
+        mesh_data=2,
+        end_epoch=1,
+    )
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])
+    opt_leaves = [
+        l for l in __import__("jax").tree_util.tree_leaves(
+            results["final_state"].opt_state
+        )
+        if hasattr(l, "sharding") and l.ndim > 0
+    ]
+    assert any("data" in str(l.sharding.spec) for l in opt_leaves)
