@@ -230,3 +230,27 @@ def test_fast_tokenizer_parity(tmp_path):
         ts, tf = slow.tokenize(t), fast.tokenize(t)
         assert ts == tf, (t, ts, tf)
         assert slow.convert_tokens_to_ids(ts) == fast.convert_tokens_to_ids(tf)
+
+
+class TestEphoieFilter:
+    """EPHOIE post filters (eval_EPHOIE.py:32-155 semantics)."""
+
+    def test_subject_match_mid_string(self):
+        from vibertgrid_tpu.eval.entities import ephoie_result_filter
+
+        assert ephoie_result_filter("三年级数学期末", 2) == "数学"
+        # subject at position 0 is NOT matched (reference uses find(...) > 0)
+        assert ephoie_result_filter("数学测试", 2) == "数学测试"
+
+    def test_grade_strips_lead_and_keywords(self):
+        from vibertgrid_tpu.eval.entities import ephoie_result_filter
+
+        # leading "年级" drops the first two chars; keyword chars dropped
+        assert ephoie_result_filter("年级三", 1) == "三"
+        assert ephoie_result_filter("七年级", 1) == "七"
+
+    def test_school_and_default_strip(self):
+        from vibertgrid_tpu.eval.entities import ephoie_result_filter
+
+        assert ephoie_result_filter("实验中学姓名", 3) == "实验中学"
+        assert ephoie_result_filter("张三：", 0) == "张三"
