@@ -122,3 +122,42 @@ def test_http_round_trip():
             time.sleep(0.2)
     assert out["result"]["company"] == "ACME"
     assert out["result"]["n_bytes"] == len(b"BYTES")
+
+
+def test_predict_many_matches_single(engine):
+    image = np.full((200, 160, 3), 0.95, np.float32)
+    reqs = [
+        (image, ["company corp", "total"], [[10, 10, 90, 24], [10, 40, 50, 54]]),
+        (image, [], []),  # empty OCR → empty result in place
+        (image, ["date 2021"], [[20, 60, 80, 74]]),
+    ]
+    batched = engine.predict_many(reqs)
+    singles = [engine.predict(*r) for r in reqs]
+    assert batched == singles
+    assert batched[1] == {c: "" for c in engine.spec.class_list[1:]}
+
+
+def test_batching_engine_concurrent(engine):
+    from vibertgrid_tpu.serve.batching import BatchingEngine
+
+    be = BatchingEngine(engine, max_batch=4, max_wait_ms=20)
+    try:
+        image = np.full((200, 160, 3), 0.95, np.float32)
+        reqs = [
+            (image, [f"text {i}", "total"], [[10, 10, 90, 24], [10, 40, 50, 54]])
+            for i in range(6)
+        ]
+        want = [engine.predict(*r) for r in reqs]
+        results = [None] * len(reqs)
+
+        def call(i):
+            results[i] = be.predict(*reqs[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert results == want
+    finally:
+        be.close()

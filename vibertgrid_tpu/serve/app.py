@@ -98,6 +98,17 @@ def main(argv=None):
     with open(args.config) as f:
         hyp = yaml.safe_load(f)
     engine = InferenceEngine(hyp, dataset=args.dataset)
+    if hyp.get("batching", False):
+        # micro-batch concurrent requests into shared device calls
+        # (serve/batching.py); needs a threaded front (the stdlib fallback
+        # serves sequentially, so batching only helps under Flask/threads).
+        from vibertgrid_tpu.serve.batching import BatchingEngine
+
+        engine = BatchingEngine(
+            engine,
+            max_batch=hyp.get("batch_max", 8),
+            max_wait_ms=hyp.get("batch_wait_ms", 5.0),
+        )
     serve(engine, args.host, args.port)
 
 

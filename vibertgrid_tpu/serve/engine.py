@@ -124,17 +124,11 @@ class InferenceEngine:
             texts=kept_texts,
         )
 
-    def predict(self, image: np.ndarray, texts: list[str], boxes) -> dict:
-        """image [H,W,3] float in [0,1] + OCR segments → {field: value}."""
-        sample = self._make_sample(image, texts, np.asarray(boxes))
-        if len(sample.texts) == 0:
-            return {c: "" for c in self.spec.class_list[1:]}
-        batch, aux = self.collator([sample], train=False)
-        t0 = time.time()
-        pred = np.asarray(self._infer(self._variables(), batch), np.float32)
-        print(f"Model Inference Time {time.time() - t0:.3f}s")
-        n = aux.n_segments[0]
-        probs = pred[0, :n]
+    def _empty_result(self) -> dict:
+        return {c: "" for c in self.spec.class_list[1:]}
+
+    def _postprocess(self, pred_row, n: int, texts: list[str]) -> dict:
+        probs = pred_row[:n]
         if probs.ndim == 1:  # crf decoded tags → one-hot-ish scores
             onehot = np.zeros((n, len(self.tag_to_idx)), np.float32)
             onehot[np.arange(n), probs.astype(int)] = 1.0
@@ -142,7 +136,7 @@ class InferenceEngine:
         z = probs - probs.max(-1, keepdims=True)
         probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
         best = join_entities(
-            probs, sample.texts, self.spec.num_classes, language=self.spec.language
+            probs, texts, self.spec.num_classes, language=self.spec.language
         )
         result = {}
         for ci in range(1, self.spec.num_classes):
@@ -151,6 +145,37 @@ class InferenceEngine:
                 value = self.result_filter(value, ci)
             result[self.spec.class_list[ci]] = value or ""
         return result
+
+    def predict(self, image: np.ndarray, texts: list[str], boxes) -> dict:
+        """image [H,W,3] float in [0,1] + OCR segments → {field: value}."""
+        return self.predict_many([(image, texts, boxes)])[0]
+
+    def predict_many(self, requests: list[tuple]) -> list[dict]:
+        """Micro-batched inference: N (image, texts, boxes) requests in one
+        device call (the batch pads to the shared bucket signature). The
+        reference's deployment runs strictly one document per forward
+        (deployment/inference_SROIE.py:160-181); batching multiplies
+        single-stream serving throughput at equal latency bounds."""
+        samples = [
+            self._make_sample(img, txt, np.asarray(bx))
+            for img, txt, bx in requests
+        ]
+        keep = [i for i, s in enumerate(samples) if len(s.texts)]
+        results: list[dict] = [self._empty_result() for _ in samples]
+        if not keep:
+            return results
+        batch, aux = self.collator([samples[i] for i in keep], train=False)
+        t0 = time.time()
+        pred = np.asarray(self._infer(self._variables(), batch), np.float32)
+        print(
+            f"Model Inference Time {time.time() - t0:.3f}s "
+            f"({len(keep)} docs)"
+        )
+        for row, i in enumerate(keep):
+            results[i] = self._postprocess(
+                pred[row], aux.n_segments[row], samples[i].texts
+            )
+        return results
 
     def predict_bytes(self, image_bytes: bytes) -> dict | None:
         """Full pipeline with the external OCR service
