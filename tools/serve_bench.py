@@ -6,8 +6,12 @@ Unlike bench.py (pure device throughput) this includes the host side:
 tokenization, bucketed collation, H2D, device forward, D2H, join + filters.
 The reference's deployment prints ~100-200 ms/doc on datacenter GPUs
 (SURVEY §6) for the same stage span. Through the tunneled sandbox chip the
-number is dominated by the two ~29 ms device round-trips per request
-(tools/mxu_calib.py) — on a local TPU host the device leg is ~7 ms.
+numbers are transfer-bound, not compute-bound: host→device moves ~77 MB/s
+and each fetch costs ~29 ms (tools/mxu_calib.py), so a bs-16 image batch
+pays ~350 ms of upload alone. On a local TPU host (PCIe, GB/s) the device
+leg is ~7 ms/doc single-stream and the micro-batched path
+(`predict_many` / serve.batching) multiplies throughput up to the chip's
+~570 docs/s saturation point.
 """
 
 from __future__ import annotations
@@ -71,6 +75,17 @@ def main():
         dt = (time.perf_counter() - t0) / n
         print(f"end-to-end serve latency: {dt * 1e3:.1f} ms/doc "
               f"({1 / dt:.1f} docs/s single-stream)  fields={list(out)}")
+
+        # micro-batched path (serve/batching.py feeds predict_many)
+        for bs in (8, 16):
+            reqs = [(image, texts, boxes)] * bs
+            engine.predict_many(reqs)  # warm the bucket signature
+            t0 = time.perf_counter()
+            for _ in range(5):
+                engine.predict_many(reqs)
+            dt = (time.perf_counter() - t0) / 5
+            print(f"predict_many bs{bs:2d}: {dt * 1e3:7.1f} ms/batch "
+                  f"({bs * 5 / (dt * 5):.1f} docs/s)")
 
 
 if __name__ == "__main__":
