@@ -85,7 +85,7 @@ def main():
                 engine.predict_many(reqs)
             dt = (time.perf_counter() - t0) / 5
             print(f"predict_many bs{bs:2d}: {dt * 1e3:7.1f} ms/batch "
-                  f"({bs * 5 / (dt * 5):.1f} docs/s)")
+                  f"({bs / dt:.1f} docs/s)")
 
 
 if __name__ == "__main__":

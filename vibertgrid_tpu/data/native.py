@@ -28,13 +28,21 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
+        def _build():
             subprocess.run(
                 ["sh", os.path.abspath(os.path.join(_CSRC, "build.sh"))],
                 check=True,
                 capture_output=True,
             )
+
+        if not os.path.exists(_LIB_PATH):
+            _build()
         lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "bilinear_resize_norm_f32"):
+            # stale library from before a symbol was added: rebuild rather
+            # than letting one missing symbol silently disable every native op
+            _build()
+            lib = ctypes.CDLL(_LIB_PATH)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

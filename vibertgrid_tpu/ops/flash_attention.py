@@ -62,15 +62,13 @@ def _heads_per_program(num_heads: int, d_head: int, batch: int = 1) -> int:
     at T=512. The largest aligned divisor with ``G·D ≤ 384`` and ``batch ·
     num_heads / G ≥ 16`` picks the measured best at both batch sizes; fall
     back to the smallest aligned group."""
-    aligned = [
-        g
-        for g in range(1, num_heads + 1)
-        if num_heads % g == 0
-        and (g * d_head) % 128 == 0
-        and g * d_head <= 384
-    ]
+    divisors = [g for g in range(1, num_heads + 1) if num_heads % g == 0]
+    lane_aligned = [g for g in divisors if (g * d_head) % 128 == 0]
+    aligned = [g for g in lane_aligned if g * d_head <= 384]
     if not aligned:
-        return num_heads
+        # nothing fits the VMEM cap: the smallest lane-aligned group is the
+        # least-VMEM choice (never num_heads — that maximises the overflow)
+        return min(lane_aligned) if lane_aligned else num_heads
     big = [g for g in aligned if batch * num_heads // g >= 16]
     return max(big) if big else min(aligned)
 

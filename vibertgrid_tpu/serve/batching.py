@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 
@@ -30,31 +31,29 @@ class BatchingEngine:
 
     def predict(self, image, texts, boxes) -> dict:
         """Blocking single-request API; batching happens transparently."""
+        if self._stop.is_set():
+            raise RuntimeError("BatchingEngine is closed")
         fut: Future = Future()
         self._queue.put(((image, texts, boxes), fut))
         return fut.result()
 
     def predict_bytes(self, image_bytes: bytes):
         """OCR + batched model call (engine.predict_bytes equivalent)."""
-        import io
-
-        import numpy as np
-        from PIL import Image
-
-        from vibertgrid_tpu.serve.ocr_client import ocr_extraction
-
-        code, texts, boxes = ocr_extraction(
-            image_bytes, self.engine.ocr_url, self.engine.parse_mode
-        )
-        if code != 200:
-            return None
-        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
-        image = np.asarray(img, np.float32) / 255.0
-        return self.predict(image, texts, boxes)
+        req = self.engine.extract_request(image_bytes)
+        return None if req is None else self.predict(*req)
 
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # fail any requests still queued (or racing the stop flag) so their
+        # callers never block forever in fut.result()
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("BatchingEngine closed"))
 
     def _run(self):
         while not self._stop.is_set():
@@ -63,11 +62,17 @@ class BatchingEngine:
             except queue.Empty:
                 continue
             items = [first]
-            # drain whatever arrives within the wait window, up to max_batch
-            deadline = self.max_wait
+            # drain whatever arrives before the deadline set by the FIRST
+            # request (a fixed per-get timeout would restart the window on
+            # every arrival, growing worst-case latency to
+            # (max_batch-1)·max_wait), up to max_batch
+            deadline = time.monotonic() + self.max_wait
             while len(items) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    items.append(self._queue.get(timeout=deadline))
+                    items.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
             requests = [req for req, _ in items]

@@ -165,6 +165,20 @@ class InferenceEngine:
         if not keep:
             return results
         batch, aux = self.collator([samples[i] for i in keep], train=False)
+        # Bucket the batch axis too (next power of two): every other axis is
+        # bucketed, and an unbucketed request count would make each distinct
+        # concurrency level a fresh XLA compile in the request path.
+        n_real = len(keep)
+        n_bucket = 1
+        while n_bucket < n_real:
+            n_bucket *= 2
+        if n_bucket != n_real:
+            batch = jax.tree_util.tree_map(
+                lambda x: np.concatenate(
+                    [x] + [x[-1:]] * (n_bucket - n_real), axis=0
+                ),
+                batch,
+            )
         t0 = time.time()
         pred = np.asarray(self._infer(self._variables(), batch), np.float32)
         print(
@@ -177,9 +191,9 @@ class InferenceEngine:
             )
         return results
 
-    def predict_bytes(self, image_bytes: bytes) -> dict | None:
-        """Full pipeline with the external OCR service
-        (inference_SROIE.inference_pipe)."""
+    def extract_request(self, image_bytes: bytes):
+        """OCR + image decode → (image, texts, boxes), or None on OCR error.
+        Shared by the direct and the micro-batched serving fronts."""
         from PIL import Image
 
         code, texts, boxes = ocr_extraction(
@@ -189,4 +203,10 @@ class InferenceEngine:
             return None
         img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
         image = np.asarray(img, np.float32) / 255.0
-        return self.predict(image, texts, boxes)
+        return image, texts, boxes
+
+    def predict_bytes(self, image_bytes: bytes) -> dict | None:
+        """Full pipeline with the external OCR service
+        (inference_SROIE.inference_pipe)."""
+        req = self.extract_request(image_bytes)
+        return None if req is None else self.predict(*req)
