@@ -48,6 +48,34 @@ def make_test_tokenizer(root: str):
     return BertTokenizer(write_vocab(root), do_lower_case=True)
 
 
+def write_roberta_tokenizer(path: str) -> str:
+    """Write an offline byte-level-BPE RoBERTa tokenizer dir under ``path``.
+
+    Character-level vocab (no merges): every synthetic word tokenizes into
+    single-char pieces, which is fine for framing/driver tests — what matters
+    is the RoBERTa special-token layout (``<s>``=0, ``<pad>``=1, ``</s>``=2),
+    the ids the reference's RobertaTokenizer would produce
+    (``train_SROIE.py:147-150``). Returns the directory path.
+    """
+    d = os.path.join(path, "roberta_tok")
+    os.makedirs(d, exist_ok=True)
+    chars = (
+        ["Ġ"]  # byte-level space marker
+        + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + [str(i) for i in range(10)]
+        + [".", ",", "-"]
+    )
+    vocab = {
+        t: i
+        for i, t in enumerate(["<s>", "<pad>", "</s>", "<unk>", "<mask>"] + chars)
+    }
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    return d
+
+
 def make_synthetic_root(
     path: str,
     n_train: int = 8,

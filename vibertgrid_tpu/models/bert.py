@@ -44,8 +44,13 @@ class HashDropout(nn.Module):
         return hash_dropout(x, derive_seed(self.make_rng("dropout")), self.rate)
 
 
-# name → (hidden size, flavor). Mirrors model/ViBERTgrid_net.py:218-226.
+# name → (hidden size, flavor). Mirrors the reference's 7-entry
+# bert_model_list (model/ViBERTgrid_net.py:218-226) exactly, plus two tiny
+# test configs. "private_bert-base-uncased" is the reference's alias for a
+# locally fine-tuned BERT-base checkpoint — same architecture, weights loaded
+# from local files (which is the only load path here anyway).
 BERT_MODEL_REGISTRY = {
+    "private_bert-base-uncased": (768, "bert"),
     "bert-base-uncased": (768, "bert"),
     "bert-base-cased": (768, "bert"),
     "roberta-base": (768, "roberta"),
@@ -53,6 +58,7 @@ BERT_MODEL_REGISTRY = {
     "hfl/chinese-bert-wwm-ext": (768, "bert"),
     "hfl/chinese-bert-wwm": (768, "bert"),
     "tiny-bert-test": (64, "bert"),  # for unit tests
+    "tiny-roberta-test": (64, "roberta"),  # for unit tests
 }
 
 

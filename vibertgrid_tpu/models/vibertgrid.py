@@ -132,6 +132,7 @@ class ModelConfig:
             )
         _, flavor = BERT_MODEL_REGISTRY[self.bert_version]
         vocab = {
+            "private_bert-base-uncased": 30522,
             "bert-base-uncased": 30522,
             "bert-base-cased": 28996,
             "bert-base-chinese": 21128,
@@ -139,9 +140,10 @@ class ModelConfig:
             "hfl/chinese-bert-wwm": 21128,
             "roberta-base": 50265,
             "tiny-bert-test": 512,
+            "tiny-roberta-test": 512,
         }[self.bert_version]
-        if self.bert_version == "tiny-bert-test":
-            cfg = TextEncoderConfig.tiny()
+        if self.bert_version in ("tiny-bert-test", "tiny-roberta-test"):
+            cfg = TextEncoderConfig.tiny(flavor)
         else:
             cfg = TextEncoderConfig.base(flavor, vocab)
         return _dc.replace(cfg, attention_impl=self.attention_impl)
