@@ -254,3 +254,142 @@ class TestEphoieFilter:
 
         assert ephoie_result_filter("实验中学姓名", 3) == "实验中学"
         assert ephoie_result_filter("张三：", 0) == "张三"
+
+
+class TestLongCorpus:
+    """No-silent-truncation guarantees (VERDICT r1 #3): arbitrary-length
+    corpora round-trip losslessly through collation, matching the reference's
+    unbounded ``win_count = seq_len // 510 + 1`` windowing
+    (``model/BERTgrid_generator.py:81-146``)."""
+
+    @staticmethod
+    def _long_sample(n_seg=600, tok_per_seg=4, seed=0):
+        from vibertgrid_tpu.data.dataset import Sample
+
+        rng = np.random.default_rng(seed)
+        n_tok = n_seg * tok_per_seg
+        h, w = 256, 300
+        x0 = rng.integers(0, w - 20, n_seg)
+        y0 = rng.integers(0, h - 12, n_seg)
+        boxes = np.stack(
+            [x0, y0, x0 + rng.integers(4, 20, n_seg), y0 + rng.integers(4, 12, n_seg)],
+            1,
+        ).astype(np.int32)
+        return Sample(
+            image=rng.random((h, w, 3)).astype(np.float32),
+            tokens=rng.integers(5, 40, n_tok).astype(np.int32),
+            seg_ids=np.repeat(np.arange(n_seg, dtype=np.int32), tok_per_seg),
+            boxes=boxes,
+            seg_classes=rng.integers(0, 5, n_seg).astype(np.int32),
+            texts=[f"t{i}" for i in range(n_seg)],
+        )
+
+    def _collator(self):
+        tr = ImageTransform([0.5] * 3, [0.25] * 3, [256], 256, 400)
+        return Collator(tr)
+
+    def test_collate_lossless_many_windows(self):
+        # 600 segments (> the 512 ladder top), 2400 tokens (5 windows).
+        s = self._long_sample()
+        batch, aux = self._collator()([s], train=False)
+        n_tok = len(s.tokens)
+        assert batch.tokens.shape[1] == 6 * 510  # 5 windows → bucket 6
+        assert batch.boxes.shape[1] == 1024      # 600 → next 512-multiple
+        assert int(batch.token_mask.sum()) == n_tok
+        np.testing.assert_array_equal(batch.tokens[0, :n_tok], s.tokens)
+        np.testing.assert_array_equal(batch.seg_ids[0, :n_tok], s.seg_ids)
+        assert int(batch.box_mask.sum()) == 600
+        np.testing.assert_array_equal(batch.seg_classes[0, :600], s.seg_classes)
+
+    def test_max_windows_cap_raises_not_truncates(self):
+        tr = ImageTransform([0.5] * 3, [0.25] * 3, [256], 256, 400)
+        coll = Collator(tr, max_windows=3)
+        with pytest.raises(ValueError, match="silently truncated"):
+            coll([self._long_sample()], train=False)
+
+    def test_model_forward_many_windows(self):
+        """A ≥4-window, ≥600-segment batch flows through the full model."""
+        import jax
+
+        from tests.test_model import tiny_config
+        from vibertgrid_tpu.models import ViBERTgridNet
+
+        s = self._long_sample(n_seg=600, tok_per_seg=4)  # 2400 tok, 5 win
+        batch, _ = self._collator()([s], train=False)
+        model = ViBERTgridNet(tiny_config())
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch,
+            train=False,
+            compute_loss=False,
+            key=jax.random.PRNGKey(2),
+        )
+        out = model.apply(
+            variables, batch, train=False, compute_loss=False,
+            key=jax.random.PRNGKey(0),
+        )
+        assert out.pred_label.shape[:2] == (1, 1024)
+        assert np.isfinite(np.asarray(out.pred_label)).all()
+
+
+class TestBucketedEvalLoader:
+    def test_identical_metrics_to_bs1(self, synth):
+        """Batched bucketed validation must reproduce the bs-1 loop's
+        metrics exactly (VERDICT r1 #4) — model outputs are
+        batch-independent in eval mode and padding entries are skipped."""
+        import jax
+
+        from tests.test_model import tiny_config
+        from vibertgrid_tpu.data.dataset import bucketed_eval_loader
+        from vibertgrid_tpu.eval.harness import validate
+        from vibertgrid_tpu.models import ViBERTgridNet
+        from vibertgrid_tpu.train.state import create_train_state, make_eval_step
+
+        root, tokenizer = synth
+        spec = synthetic_spec()
+        ds = KIEDataset(f"{root}/test", spec, tokenizer, train=False)
+        tr = ImageTransform(spec.image_mean, spec.image_std, [256], 256, 400)
+        coll = Collator(tr)
+
+        import optax
+
+        model = ViBERTgridNet(tiny_config())
+        batch0, _ = next(iter(data_loader(ds, coll, 1, train=False)))
+        state = create_train_state(model, optax.sgd(1e-3), batch0, seed=0)
+        eval_step = make_eval_step(model)
+
+        kw = dict(
+            eval_mode="seq_and_str",
+            tag_to_idx=spec.tag_to_idx("B"),
+            verbose=False,
+        )
+        r1 = validate(
+            eval_step, state, data_loader(ds, coll, 1, train=False), spec, **kw
+        )
+        rb = validate(
+            eval_step, state, bucketed_eval_loader(ds, coll, 8), spec, **kw
+        )
+        for k in (
+            "precision", "recall", "F1", "token_F1", "token_accuracy",
+            "primary_F1",
+        ):
+            assert rb[k] == pytest.approx(r1[k], abs=1e-9), k
+        assert set(rb["per_sample"]) == set(r1["per_sample"])
+        for name in r1["per_sample"]:
+            assert rb["per_sample"][name]["pred"] == r1["per_sample"][name]["pred"]
+
+    def test_groups_and_padding(self, synth):
+        from vibertgrid_tpu.data.dataset import bucketed_eval_loader
+
+        root, tokenizer = synth
+        spec = synthetic_spec()
+        ds = KIEDataset(f"{root}/test", spec, tokenizer, train=False)
+        tr = ImageTransform(spec.image_mean, spec.image_std, [256], 256, 400)
+        coll = Collator(tr)
+        n_real_total = 0
+        for batch, aux in bucketed_eval_loader(ds, coll, 8):
+            b = batch.images.shape[0]
+            assert b & (b - 1) == 0, "batch sizes are powers of two"
+            assert len(aux.n_segments) == b
+            n_real_total += sum(1 for n in aux.n_segments if n > 0)
+        assert n_real_total == len(ds)

@@ -18,6 +18,8 @@ from vibertgrid_tpu.data.dataset import (  # noqa: F401
     KIEDataset,
     Collator,
     EvalAux,
+    bucketed_eval_loader,
+    compute_mean_std,
     data_loader,
     prefetch_to_device,
 )

@@ -30,6 +30,7 @@ from vibertgrid_tpu.data.transform import (
 )
 
 SEG_BUCKETS = (32, 64, 128, 256, 512)
+WIN_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16)
 WINDOW = 510
 
 
@@ -165,12 +166,35 @@ class Collator:
         transform: ImageTransform,
         seg_buckets: Sequence[int] = SEG_BUCKETS,
         hw_multiple: int = 64,
-        max_windows: int = 3,
+        max_windows: int | None = None,
+        win_buckets: Sequence[int] = WIN_BUCKETS,
     ) -> None:
+        """``max_windows=None`` (default) supports corpora of any length,
+        matching the reference's ``win_count = seq_len // 510 + 1`` windowing
+        (``model/BERTgrid_generator.py:81-146``); window counts are bucketed
+        to ``win_buckets`` (open-ended beyond the top) so jit signatures are
+        reused. An explicit ``max_windows`` is a hard limit that RAISES on
+        overflow — there is no silent-truncation path."""
         self.transform = transform
         self.seg_buckets = tuple(seg_buckets)
         self.hw_multiple = hw_multiple
         self.max_windows = max_windows
+        self.win_buckets = tuple(win_buckets)
+
+    def signature(self, sample: Sample) -> tuple[int, int, int, int]:
+        """Eval-time collation bucket signature ``(bh, bw, s_cap, n_win)``.
+
+        The batch buckets are monotone functions of per-sample maxima, so a
+        batch of samples sharing a signature collates to exactly these
+        shapes — the grouping key for :func:`bucketed_eval_loader`.
+        """
+        oh, ow = self.transform.test_output_shape(*sample.image.shape[:2])
+        bh, bw = bucket_hw(oh, ow, self.hw_multiple)
+        s_cap = bucket_count(max(len(sample.seg_classes), 1), self.seg_buckets)
+        n_win = bucket_count(
+            -(-max(len(sample.tokens), 1) // WINDOW), self.win_buckets
+        )
+        return bh, bw, s_cap, n_win
 
     def __call__(
         self,
@@ -203,12 +227,14 @@ class Collator:
 
         n_seg = max(max((len(s.seg_classes) for s in samples), default=1), 1)
         s_cap = bucket_count(n_seg, self.seg_buckets)
-        if n_seg > s_cap:
-            raise ValueError(
-                f"segment count {n_seg} exceeds largest bucket {s_cap}"
-            )
         n_tok = max(max((len(s.tokens) for s in samples), default=1), 1)
-        n_win = min(-(-n_tok // WINDOW), self.max_windows)
+        n_win = bucket_count(-(-n_tok // WINDOW), self.win_buckets)
+        if self.max_windows is not None and n_win > self.max_windows:
+            raise ValueError(
+                f"corpus needs {n_win} windows ({n_tok} tokens) but the "
+                f"collator was capped at max_windows={self.max_windows}; "
+                "raise or drop the cap — tokens are never silently truncated"
+            )
         t_cap = n_win * WINDOW
 
         boxes = np.zeros((b, s_cap, 4), np.int32)
@@ -219,13 +245,13 @@ class Collator:
         seg_ids = np.zeros((b, t_cap), np.int32)
         for i, s in enumerate(samples):
             ns = len(s.seg_classes)
-            nt = min(len(s.tokens), t_cap)
+            nt = len(s.tokens)
             boxes[i, :ns] = boxes_list[i]
             box_mask[i, :ns] = True
             seg_classes[i, :ns] = s.seg_classes
-            tokens[i, :nt] = s.tokens[:nt]
+            tokens[i, :nt] = s.tokens
             token_mask[i, :nt] = 1
-            seg_ids[i, :nt] = s.seg_ids[:nt]
+            seg_ids[i, :nt] = s.seg_ids
 
         batch = Batch(
             images=image_arr,
@@ -292,6 +318,88 @@ def data_loader(
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
+
+
+def compute_mean_std(
+    dataset: KIEDataset, num_workers: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-channel image stats for a new dataset's ``image_mean``/
+    ``image_std`` config (``data/SROIE_dataset.py:263-278`` semantics: each
+    image's per-channel mean and sample std — torch's unbiased ``.std()``,
+    ddof=1 — averaged over the dataset, on the raw [0,1] images before
+    resize/normalize)."""
+    mean = np.zeros(3, np.float64)
+    std = np.zeros(3, np.float64)
+
+    def stats(i):
+        img = dataset[i].image.reshape(-1, 3).astype(np.float64)
+        return img.mean(axis=0), img.std(axis=0, ddof=1)
+
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            results = list(pool.map(stats, range(len(dataset))))
+    else:
+        results = [stats(i) for i in range(len(dataset))]
+    for m, s in results:
+        mean += m
+        std += s
+    n = max(len(dataset), 1)
+    return (mean / n).astype(np.float32), (std / n).astype(np.float32)
+
+
+def bucketed_eval_loader(
+    dataset: KIEDataset,
+    collator: Collator,
+    batch_size: int,
+    shard: tuple[int, int] = (0, 1),
+    num_workers: int = 0,
+) -> Iterator:
+    """Batched evaluation loader: group test docs by collation bucket
+    signature and yield batches of up to ``batch_size`` per group.
+
+    Replaces the reference's batch-size-1 test loop
+    (``data/SROIE_dataset.py:338-352``, ``eval_SROIE.py:103-105``) for
+    validation: within a group every sample collates to identical static
+    shapes, so jit signatures are reused and the per-document device→host
+    sync (~29 ms through the tunnel) amortizes over the whole batch.
+
+    Partial groups are padded up to the next power-of-two batch size by
+    duplicating the final sample; padding entries get ``aux.n_segments = 0``
+    so the metrics harness skips them — per-document metric output is
+    identical to the bs-1 loop (model outputs are batch-independent in eval
+    mode). The reported mean loss weights padded duplicates like real docs
+    (batch means, as the reference's mean-of-batch-means already does).
+    """
+    rank, world = shard
+    order = list(range(len(dataset)))[rank::world]
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            samples = list(pool.map(dataset.__getitem__, order))
+    else:
+        samples = [dataset[i] for i in order]
+
+    groups: dict[tuple, list[Sample]] = {}
+    for s in samples:
+        groups.setdefault(collator.signature(s), []).append(s)
+
+    for sig in sorted(groups):
+        g = groups[sig]
+        for i in range(0, len(g), batch_size):
+            chunk = g[i : i + batch_size]
+            n_real = len(chunk)
+            target = 1
+            while target < n_real:
+                target *= 2
+            target = min(target, batch_size)
+            chunk = chunk + [chunk[-1]] * (target - n_real)
+            batch, aux = collator(chunk, train=False)
+            for j in range(n_real, len(chunk)):
+                aux.n_segments[j] = 0  # padding duplicate — harness skips
+            yield batch, aux
 
 
 def prefetch_to_device(iterator: Iterator, size: int = 2, put: bool = True) -> Iterator:

@@ -77,10 +77,7 @@ class ImageTransform:
             min_size = float(rng.choice(list(self.train_min_size)))
         else:
             min_size = float(self.test_min_size)
-        scale = min_size / min(h, w)
-        if max(h, w) * scale > self.max_size:
-            scale = self.max_size / max(h, w)
-        out_h, out_w = int(math.floor(h * scale)), int(math.floor(w * scale))
+        out_h, out_w = self._output_shape(h, w, min_size)
 
         from vibertgrid_tpu.data import native
 
@@ -99,6 +96,17 @@ class ImageTransform:
             boxes = np.zeros((0, 4), np.int32)
         return resized, boxes, (out_h, out_w)
 
+    def _output_shape(self, h: int, w: int, min_size: float) -> tuple[int, int]:
+        scale = min_size / min(h, w)
+        if max(h, w) * scale > self.max_size:
+            scale = self.max_size / max(h, w)
+        return int(math.floor(h * scale)), int(math.floor(w * scale))
+
+    def test_output_shape(self, h: int, w: int) -> tuple[int, int]:
+        """Deterministic eval-time resize target (no image work) — used for
+        bucket-signature grouping in the batched eval loader."""
+        return self._output_shape(h, w, float(self.test_min_size))
+
 
 def bucket_hw(h: int, w: int, multiple: int = 64) -> tuple[int, int]:
     """Round a resized shape up to the padding bucket."""
@@ -107,8 +115,12 @@ def bucket_hw(h: int, w: int, multiple: int = 64) -> tuple[int, int]:
 
 
 def bucket_count(n: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= n (last bucket if none fits — caller clamps)."""
+    """Smallest bucket >= n. Counts beyond the ladder's top round up to the
+    next multiple of the top bucket (the ladder is open-ended, never a cap —
+    the reference handles arbitrary segment/token counts,
+    ``model/BERTgrid_generator.py:81-146``)."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return int(math.ceil(n / top) * top)
