@@ -52,7 +52,15 @@ def evaluate(hyp: dict, dataset: str, spec=None, state=None) -> dict:
         state, _ = ckpt.restore(weights, state)
 
     eval_step = make_eval_step(model)
-    loader = data_loader(test_ds, collator, batch_size=1, train=False)
+    # Default bs-1 mirrors the reference eval scripts exactly; any larger
+    # eval_batch_size switches to the bucketed batched loader.
+    ebs = hyp.get("eval_batch_size", 1)
+    if ebs > 1:
+        from vibertgrid_tpu.data import bucketed_eval_loader
+
+        loader = bucketed_eval_loader(test_ds, collator, batch_size=ebs)
+    else:
+        loader = data_loader(test_ds, collator, batch_size=1, train=False)
     results = validate(
         eval_step,
         state,

@@ -13,8 +13,10 @@ Eval modes (example_config.yaml:55-58):
 
 Device outputs arrive padded ``[B, S, C]``; host code slices each sample's
 valid segments. Cross-process metric reduction (the reference's all_reduce +
-all_gather_object, train_val_utils.py:537-552) is a host-side sum here — the
-loader shards by process, single-host in this environment.
+all_gather_object, train_val_utils.py:537-552): each process evaluates its
+loader shard, then :func:`~vibertgrid_tpu.parallel.mesh.
+process_allgather_objects` merges losses/counters/tag-seqs/per-sample dicts
+so every process computes identical global metrics (no-op single-host).
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ from __future__ import annotations
 from typing import Any, Callable, Iterable
 
 import numpy as np
+
+import jax
 
 from vibertgrid_tpu.data.spec import DatasetSpec
 from vibertgrid_tpu.eval.entities import (
@@ -43,12 +47,21 @@ def _tags_from_ids(ids, idx_to_tag):
     return [idx_to_tag[int(i)] for i in ids]
 
 
+_LOG_FMT = "pred_key: [{pred_key}] gt_key: [{gt_key}] status: {status}"
+
+
 def strcmp_compare(
     pred_keys: list[str], key_dict: dict, class_list, result_filter=None
 ):
-    """Exact-string scoring of one document (train_val_utils.py:495-518)."""
+    """Exact-string scoring of one document (train_val_utils.py:495-518).
+
+    Returns ``(recall_acc, precision_acc, n_gt, n_det, log)`` where ``log``
+    is the per-class status dict the reference puts in its per-sample JSON
+    report (``eval_SROIE.py:186-211, 231-237``).
+    """
     recall_acc = precision_acc = 0.0
     n_det = n_gt = 0.0
+    log = {}
     for ci in range(1, len(class_list)):
         pred = pred_keys[ci]
         if result_filter is not None:
@@ -58,12 +71,17 @@ def strcmp_compare(
         gt = key_dict.get(class_list[ci], "")
         if len(pred):
             n_det += 1
+        correct = False
         if len(gt):
             n_gt += 1
             if pred == gt:
                 recall_acc += 1
                 precision_acc += 1
-    return recall_acc, precision_acc, n_gt, n_det
+                correct = True
+        log[class_list[ci]] = _LOG_FMT.format(
+            pred_key=pred, gt_key=gt, status="CORRECT" if correct else "ERROR"
+        )
+    return recall_acc, precision_acc, n_gt, n_det, log
 
 
 def validate(
@@ -94,19 +112,26 @@ def validate(
     recall_sum = precision_sum = num_gt = num_det = 0.0
     losses = []
     pred_tag_seqs, gt_tag_seqs = [], []
+    pred_gt_pairs: list = []  # (pred [N,C] or ids [N], gt [N]) per document
     per_sample = {}
 
     for batch, aux in loader:
         out = eval_step(state, batch)
-        if out.total_loss is not None:
-            losses.append(float(out.total_loss))
-        pred = np.asarray(out.pred_label, np.float32)
-        gt = np.asarray(out.gt_label)
+        # ONE device→host fetch per batch (each fetch costs ~29 ms through
+        # the tunnel): pull loss + predictions + labels together.
+        loss_v, pred, gt = jax.device_get(
+            (out.total_loss, out.pred_label, out.gt_label)
+        )
+        if loss_v is not None:
+            losses.append(float(loss_v))
+        pred = np.asarray(pred, np.float32)
+        gt = np.asarray(gt)
         for i, n_seg in enumerate(aux.n_segments):
             if n_seg == 0:
                 continue
             probs_or_tags = pred[i, :n_seg]
             gt_ids = gt[i, :n_seg]
+            pred_gt_pairs.append((probs_or_tags, gt_ids))
 
             if eval_mode in ("seqeval", "seq_and_str"):
                 assert tag_to_idx is not None
@@ -133,19 +158,79 @@ def validate(
                     score_thresh=strcmp_thresh,
                 )
                 key_dict = aux.key_dicts[i] or {}
-                r, p, g, d = strcmp_compare(
+                r, p, g, d, log = strcmp_compare(
                     pred_keys, key_dict, class_list, result_filter
                 )
                 recall_sum += r
                 precision_sum += p
                 num_gt += g
                 num_det += d
+                # per-sample metrics, reference report shape
+                # (eval_SROIE.py:231-237)
+                s_prec = 0.0 if d == 0 else p / d
+                s_rec = 1.0 if num_classes - 1 == 0 else r / (num_classes - 1)
+                s_hmean = (
+                    0.0
+                    if s_prec + s_rec == 0
+                    else 2 * s_prec * s_rec / (s_prec + s_rec)
+                )
                 per_sample[key_dict.get("filename", len(per_sample))] = {
-                    "pred": pred_keys,
+                    "precision": s_prec,
+                    "recall": s_rec,
+                    "hmean": s_hmean,
                     "correct": r,
+                    "log": log,
+                    "pred": pred_keys,
                 }
 
+    # Cross-process metric gather (the reference's all_reduce of counters +
+    # all_gather_object of pred/gt pairs, train_val_utils.py:537-552):
+    # every process contributes its loader shard; all processes end up with
+    # the same global lists and compute identical metrics. No-op single-host.
+    if jax.process_count() > 1:
+        from vibertgrid_tpu.parallel.mesh import process_allgather_objects
+
+        shards = process_allgather_objects(
+            dict(
+                losses=losses,
+                counters=(recall_sum, precision_sum, num_gt, num_det),
+                pred_tag_seqs=pred_tag_seqs,
+                gt_tag_seqs=gt_tag_seqs,
+                pred_gt_pairs=pred_gt_pairs,
+                per_sample=per_sample,
+            )
+        )
+        losses = [l for s in shards for l in s["losses"]]
+        recall_sum = sum(s["counters"][0] for s in shards)
+        precision_sum = sum(s["counters"][1] for s in shards)
+        num_gt = sum(s["counters"][2] for s in shards)
+        num_det = sum(s["counters"][3] for s in shards)
+        pred_tag_seqs = [x for s in shards for x in s["pred_tag_seqs"]]
+        gt_tag_seqs = [x for s in shards for x in s["gt_tag_seqs"]]
+        pred_gt_pairs = [x for s in shards for x in s["pred_gt_pairs"]]
+        merged: dict = {}
+        for s in shards:
+            merged.update(s["per_sample"])
+        per_sample = merged
+
     results: dict = {"loss": float(np.mean(losses)) if losses else None}
+    if pred_gt_pairs:
+        # Token-level accuracy (pipeline/criteria.py:12-21) and the per-class
+        # TP/TN/FP/FN dict (criteria.py:55-95) the reference's token eval
+        # branch reports (train_val_utils.py:628-645).
+        from vibertgrid_tpu.eval.criteria import (
+            token_classification_criteria,
+            token_F1_criteria,
+        )
+
+        n_correct = n_total = 0.0
+        for p_, g_ in pred_gt_pairs:
+            c, n = token_classification_criteria(g_, p_)
+            n_correct += c
+            n_total += n
+        results["token_accuracy"] = 0.0 if n_total == 0 else n_correct / n_total
+        if pred_gt_pairs[0][0].ndim == 2:
+            results["token_F1_dict"] = token_F1_criteria(pred_gt_pairs)
     if eval_mode in ("seqeval", "seq_and_str") and pred_tag_seqs:
         p, r, f = bio_f1(gt_tag_seqs, pred_tag_seqs, seqeval_average)
         results.update(token_precision=p, token_recall=r, token_F1=f)
