@@ -93,6 +93,41 @@ def init_distributed_mode() -> None:
             pass  # already initialized (or single-process)
 
 
+def process_allgather_bytes(payload: bytes) -> list[bytes]:
+    """All-gather an arbitrary bytes payload across host processes.
+
+    The TPU-native replacement for the reference's
+    ``torch.distributed.all_gather_object`` on pred/gt lists
+    (``pipeline/train_val_utils.py:544-547``): two-phase — gather lengths,
+    pad to the global max, gather uint8 buffers via
+    ``multihost_utils.process_allgather``, slice back. Single-process: the
+    identity (no collective is issued).
+    """
+    if jax.process_count() == 1:
+        return [payload]
+    import numpy as _np
+
+    from jax.experimental import multihost_utils
+
+    length = _np.asarray(len(payload), _np.int64)
+    lengths = _np.asarray(multihost_utils.process_allgather(length))
+    max_len = int(lengths.max())
+    buf = _np.zeros(max_len, _np.uint8)
+    buf[: len(payload)] = _np.frombuffer(payload, _np.uint8)
+    gathered = _np.asarray(multihost_utils.process_allgather(buf))
+    return [
+        gathered[i, : int(lengths[i])].tobytes()
+        for i in range(jax.process_count())
+    ]
+
+
+def process_allgather_objects(obj) -> list:
+    """``all_gather_object`` equivalent: pickle + :func:`process_allgather_bytes`."""
+    import pickle
+
+    return [pickle.loads(b) for b in process_allgather_bytes(pickle.dumps(obj))]
+
+
 def setup_rank0_print() -> None:
     """Gate print() to rank 0 (distributed_utils.py:57-70)."""
     if is_main_process():
