@@ -138,3 +138,52 @@ def test_train_driver_zero1_mesh_smoke(tmp_path):
         if hasattr(l, "sharding") and l.ndim > 0
     ]
     assert any("data" in str(l.sharding.spec) for l in opt_leaves)
+
+
+def test_train_driver_roberta_crf_smoke(tmp_path):
+    """RoBERTa end-to-end through the driver (BASELINE config #4: RoBERTa
+    encoder + CRF head): the tokenizer's falsy ``<s>``=0 cls id must survive
+    into the model config (the ``or 101`` bug class), windows must be framed
+    with <s>/</s> = 0/2, and a few train steps must run."""
+    import jax
+
+    from vibertgrid_tpu.data.synthetic import write_roberta_tokenizer
+    from vibertgrid_tpu.ops.windows import frame_windows
+    from vibertgrid_tpu.train.driver import build_all, build_tokenizer
+
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=6)
+    tok_dir = write_roberta_tokenizer(str(tmp_path))
+
+    hyp = tiny_hyp(root)
+    hyp.update(
+        save_top=str(tmp_path / "w"),
+        save_log=str(tmp_path / "l"),
+        bert_version="tiny-roberta-test",
+        tokenizer_path=tok_dir,
+        classifier_mode="crf",
+        tag_mode="BIO",
+        eval_mode="seqeval",
+        end_epoch=1,
+    )
+
+    tokenizer = build_tokenizer(hyp)
+    assert tokenizer.cls_token_id == 0 and tokenizer.sep_token_id == 2
+    _, cfg, _, _, _, _ = build_all(hyp, "sroie", tokenizer, synthetic_spec())
+    assert cfg.cls_token_id == 0, "RoBERTa <s>=0 lost (falsy-id bug)"
+    assert cfg.sep_token_id == 2
+    assert cfg.resolved_text_config().flavor == "roberta"
+
+    # window framing parity for RoBERTa ids (like TestWindows does for BERT)
+    toks = np.arange(5, 5 + 510, dtype=np.int32)[None, :]
+    ids, mask = frame_windows(
+        jax.numpy.asarray(toks),
+        jax.numpy.ones_like(jax.numpy.asarray(toks)),
+        cls_id=cfg.cls_token_id,
+        sep_id=cfg.sep_token_id,
+    )
+    assert int(ids[0, 0]) == 0 and int(ids[0, -1]) == 2
+
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])
+    assert results["loss"] is None or np.isfinite(results["loss"])

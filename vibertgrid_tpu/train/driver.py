@@ -35,6 +35,7 @@ from vibertgrid_tpu.data import (
     Collator,
     ImageTransform,
     KIEDataset,
+    bucketed_eval_loader,
     data_loader,
     get_spec,
     prefetch_to_device,
@@ -93,10 +94,14 @@ def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
         model_cfg_dict["tag_to_idx"] = tag_to_idx
     cfg = ModelConfig.from_yaml_dict(model_cfg_dict)
     if tokenizer is not None:
+        # RoBERTa's <s> id is 0 (falsy!) — `or 101` would silently frame
+        # every RoBERTa window with BERT's [CLS]. Explicit None checks only.
+        cls_id = tokenizer.cls_token_id
+        sep_id = tokenizer.sep_token_id
         cfg = __import__("dataclasses").replace(
             cfg,
-            cls_token_id=tokenizer.cls_token_id or 101,
-            sep_token_id=tokenizer.sep_token_id or 102,
+            cls_token_id=cls_id if cls_id is not None else 101,
+            sep_token_id=sep_id if sep_id is not None else 102,
         )
     model = ViBERTgridNet(cfg)
     transform = ImageTransform(
@@ -152,6 +157,16 @@ def load_pretrained_into_state(state, hyp: dict, cfg):
 def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> dict:
     """Full training run; returns final metrics. ``max_steps`` truncates for
     smoke tests."""
+    # Multi-host bootstrap + rank-0 print gating (the torchrun/NCCL
+    # equivalents, distributed_utils.py:73-100, 57-70). No-ops single-host.
+    from vibertgrid_tpu.parallel.mesh import (
+        init_distributed_mode,
+        setup_rank0_print,
+    )
+
+    init_distributed_mode()
+    setup_rank0_print()
+    proc_shard = (jax.process_index(), jax.process_count())
     setup_seed(42)
     comment = hyp.get("comment", dataset)
     save_log = hyp.get("save_log", "./log/")
@@ -200,9 +215,22 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         os.path.join(data_root, "test"), spec, tokenizer, train=False
     )
 
+    if hyp.get("compute_dataset_stats", False):
+        # The reference's return_mean_std loader option
+        # (data/SROIE_dataset.py:263-278): compute per-channel image stats
+        # from the train split and use them for normalization.
+        from vibertgrid_tpu.data import compute_mean_std
+
+        m, s = compute_mean_std(train_ds, num_workers=hyp.get("num_workers", 0))
+        print(f"==> dataset stats: mean={m.tolist()} std={s.tolist()}")
+        transform.image_mean = m.tolist()
+        transform.image_std = s.tolist()
+
     mesh = make_mesh(data=data_axis, model=model_axis)
     niter_per_ep = max(len(train_ds) // batch_size, 1)
-    optimizer = make_optimizer(hyp, end_epoch, niter_per_ep)
+    optimizer, schedules = make_optimizer(
+        hyp, end_epoch, niter_per_ep, return_schedules=True
+    )
 
     sample_batch, _ = next(
         iter(data_loader(train_ds, collator, batch_size, train=True, seed=0))
@@ -244,10 +272,17 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     logger = MetricsLogger(save_log, comment)
 
     def run_validate():
+        # Bucketed batched eval (bs-1 available via eval_batch_size: 1):
+        # groups test docs by collation signature so each jitted signature
+        # serves many documents and host syncs amortize per batch.
         loader = (
             (shard_batch(b, mesh), aux)
-            for b, aux in data_loader(
-                test_ds, collator, batch_size=1, train=False, seed=0
+            for b, aux in bucketed_eval_loader(
+                test_ds,
+                collator,
+                batch_size=hyp.get("eval_batch_size", 8),
+                shard=proc_shard,
+                num_workers=hyp.get("num_workers", 0),
             )
         )
         return validate(
@@ -263,10 +298,48 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     results = run_validate()  # initial validate (train_SROIE.py:324-335)
     best_f1 = results["primary_F1"]
 
+    # Per-iteration console/TB log (train_val_utils.py:293-335). Printing the
+    # loss forces a device→host sync (~29 ms through the tunnel), so it is
+    # opt-in via the reference's ``iter_msg`` yaml flag, with ``log_interval``
+    # to stride it; lr/wd come from the host-side schedule arrays for free.
+    iter_msg = hyp.get("iter_msg", False)
+    log_interval = max(int(hyp.get("log_interval", 1)), 1)
+
+    def _iter_log(epoch, it, loss_v, sched_idx, t_iter):
+        idx = min(sched_idx, len(schedules["lr_cnn"]) - 1)
+        mem = ""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+            if peak is not None:
+                mem = f"  max mem: {peak / 1048576:.0f}MB"
+        except Exception:
+            pass
+        print(
+            f"\t epoch[{epoch + 1}]  iter[{it}]/[{niter_per_ep}]  "
+            f"train_loss: {loss_v:.4f}  "
+            f"lr_cnn: {schedules['lr_cnn'][idx]:.3e}  "
+            f"lr_bert: {schedules['lr_bert'][idx]:.3e}  "
+            f"wd: {schedules['wd_cnn'][idx]:.3e}  "
+            f"time used: {t_iter:.2f}s{mem}"
+        )
+        logger.update(
+            head="opt",
+            step=idx,
+            lr_cnn=float(schedules["lr_cnn"][idx]),
+            lr_bert=float(schedules["lr_bert"][idx]),
+            wd_cnn=float(schedules["wd_cnn"][idx]),
+            wd_bert=float(schedules["wd_bert"][idx]),
+        )
+        logger.update(head="loss", step=idx, iter_loss=loss_v)
+
+    start_step = int(state.step)
     steps_done = 0
     key = jax.random.PRNGKey(hyp.get("seed", 42))
     for epoch in range(start_epoch, end_epoch):
         t_ep = time.time()
+        t_iter = time.time()
+        it_in_epoch = 0
         epoch_losses = []
         epoch_iter = (
             (shard_batch(b, mesh), aux)
@@ -276,6 +349,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
                 batch_size,
                 train=True,
                 seed=epoch,
+                shard=proc_shard,
                 num_workers=hyp.get("num_workers", 0),
             )
         )
@@ -285,7 +359,18 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
             state, loss = train_step(state, batch, key)
             epoch_losses.append(loss)
             steps_done += 1
+            it_in_epoch += 1
             logger.set_step()
+            if iter_msg and steps_done % log_interval == 0:
+                now = time.time()
+                _iter_log(
+                    epoch,
+                    it_in_epoch,
+                    float(loss),
+                    start_step + steps_done - 1,
+                    now - t_iter,
+                )
+                t_iter = now
             if max_steps and steps_done >= max_steps:
                 break
         mean_loss = float(np.mean([float(l) for l in epoch_losses]))

@@ -83,9 +83,16 @@ def make_optimizer(
     hyp: dict,
     num_epochs: int,
     niter_per_ep: int,
-) -> optax.GradientTransformation:
+    return_schedules: bool = False,
+):
     """Build the dual optimizer from a reference-compatible YAML dict
-    (``example_config.yaml:16-34``)."""
+    (``example_config.yaml:16-34``).
+
+    ``return_schedules=True`` additionally returns the per-iteration
+    lr/wd arrays (``{"lr_cnn", "wd_cnn", "lr_bert", "wd_bert"}``) for the
+    per-iteration console/TB log (``train_val_utils.py:215-246, 293-335``) —
+    they are pure host-side functions of the step, so logging them costs no
+    device sync."""
     cnn = hyp["optimizer_cnn_hyp"]
     bert = hyp["optimizer_bert_hyp"]
 
@@ -120,9 +127,17 @@ def make_optimizer(
         bert.get("beta2", 0.999),
         bert.get("epsilon", 1e-8),
     )
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"cnn": sgd, "bert": adamw},
         lambda params: jax.tree_util.tree_map_with_path(
             lambda path, _: param_group_label(path), params
         ),
     )
+    if return_schedules:
+        return tx, {
+            "lr_cnn": lr_cnn,
+            "wd_cnn": wd_cnn,
+            "lr_bert": lr_bert,
+            "wd_bert": wd_bert,
+        }
+    return tx
