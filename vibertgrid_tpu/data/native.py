@@ -35,14 +35,33 @@ def _load():
                 capture_output=True,
             )
 
-        if not os.path.exists(_LIB_PATH):
+        # Staleness must be detected BEFORE the first dlopen: glibc dedupes
+        # dlopen by pathname, so re-CDLL'ing a rebuilt .so at the same path
+        # returns the stale in-process handle and a missing-symbol probe on
+        # it would silently disable every native op for this process.
+        def _stale() -> bool:
+            if not os.path.exists(_LIB_PATH):
+                return True
+            src = os.path.abspath(os.path.join(_CSRC, "host_ops.cpp"))
+            if os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(
+                _LIB_PATH
+            ):
+                return True
+            # exported symbol names live in the .dynstr section — a plain
+            # byte scan detects pre-symbol-addition builds without dlopen
+            with open(_LIB_PATH, "rb") as f:
+                blob = f.read()
+            required = (
+                b"bilinear_resize_norm_f32",
+                b"bilinear_resize_f32",
+                b"rasterize_winner_i32",
+                b"pad_batch_f32",
+            )
+            return any(sym not in blob for sym in required)
+
+        if _stale():
             _build()
         lib = ctypes.CDLL(_LIB_PATH)
-        if not hasattr(lib, "bilinear_resize_norm_f32"):
-            # stale library from before a symbol was added: rebuild rather
-            # than letting one missing symbol silently disable every native op
-            _build()
-            lib = ctypes.CDLL(_LIB_PATH)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

@@ -51,6 +51,14 @@ class _SplitPointwise(nn.Module):
     The parameter tree matches ``nn.Conv(name=...)`` exactly — one
     ``kernel [1, 1, ΣC_i, F]`` (lecun-normal, no bias, like every FPN conv
     here), so checkpoints are interchangeable with the concat formulation.
+
+    Numerics: in fp32 mode this is exactly equal to concat+conv (same params,
+    same math — parity-tested). In bf16 mode each level's einsum still
+    accumulates fp32 over its own channels, but the cross-level partial sums
+    add in bf16, so results can differ from a single fp32-accumulated dot
+    over all ΣC channels by ~1 bf16 ulp — an accepted trade (keeping the
+    stride-4 partials bf16 halves their HBM traffic; the reference's AMP
+    training is itself fp16 end-to-end here).
     """
 
     features: int

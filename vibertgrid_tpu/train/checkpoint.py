@@ -63,12 +63,31 @@ class CheckpointManager:
             if os.path.isabs(tag_or_path)
             else self._path(tag_or_path)
         )
-        restored = self._ckpt.restore(path, {"state": template})
         meta_path = os.path.join(path, _META_FILE)
         meta: dict = {"epoch": 0, "f1": 0.0}
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta.update(json.load(f))
+            restored = self._ckpt.restore(path, {"state": template})
+        else:
+            # Legacy layout (pre meta.json sidecar): epoch/f1 were embedded
+            # as a "meta" item in the Orbax tree; strict structure matching
+            # needs the matching template.
+            legacy = {"state": template, "meta": {"epoch": 0, "f1": 0.0}}
+            try:
+                restored = self._ckpt.restore(path, legacy)
+                meta.update(
+                    {
+                        k: (
+                            v.item()
+                            if hasattr(v, "item")
+                            else v
+                        )
+                        for k, v in dict(restored.get("meta") or {}).items()
+                    }
+                )
+            except (ValueError, KeyError, TypeError):
+                restored = self._ckpt.restore(path, {"state": template})
         return restored["state"], meta
 
     def latest_best(self) -> str | None:
