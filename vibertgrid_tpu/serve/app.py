@@ -57,7 +57,7 @@ def serve(engine, host: str = "127.0.0.1", port: int = 11451):
         app.run(host=host, port=port, debug=False)
         return
 
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):  # noqa: N802
@@ -81,7 +81,9 @@ def serve(engine, host: str = "127.0.0.1", port: int = 11451):
             pass
 
     print(f"serving on http://{host}:{port}/core")
-    HTTPServer((host, port), Handler).serve_forever()
+    # Threaded so concurrent requests can reach the micro-batching engine
+    # (a sequential HTTPServer could never form a batch).
+    ThreadingHTTPServer((host, port), Handler).serve_forever()
 
 
 def main(argv=None):
@@ -100,8 +102,8 @@ def main(argv=None):
     engine = InferenceEngine(hyp, dataset=args.dataset)
     if hyp.get("batching", False):
         # micro-batch concurrent requests into shared device calls
-        # (serve/batching.py); needs a threaded front (the stdlib fallback
-        # serves sequentially, so batching only helps under Flask/threads).
+        # (serve/batching.py); both fronts are threaded (Flask's werkzeug
+        # and the stdlib ThreadingHTTPServer fallback).
         from vibertgrid_tpu.serve.batching import BatchingEngine
 
         engine = BatchingEngine(
