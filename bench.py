@@ -9,12 +9,22 @@ model a typical SROIE receipt after the reference transform
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "docs/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` divides by an ESTIMATED A100 PyTorch batched-forward
-throughput for the same model/shapes (the reference publishes no throughput —
-BASELINE.md; the deployment path prints ~100-200 ms/doc single-image on
-datacenter GPUs, i.e. ~5-10 docs/s unbatched; batched A100 forward is
-estimated at 40 docs/s). The absolute docs/sec/chip number is the durable
-metric; the ratio is indicative.
+``vs_baseline`` divides by a DERIVED A100 PyTorch batched-forward throughput
+(the reference publishes no throughput — BASELINE.md):
+
+    baseline_docs/s = A100 peak bf16 (312 TF/s) x assumed eager-AMP MFU
+                      / measured per-document forward FLOPs
+
+Per-doc FLOPs come from XLA's cost analysis of THIS forward at the bench
+shapes (~same architecture and arithmetic as the reference's model;
+our byte-reduction rewrites keep FLOPs essentially unchanged). The single
+free parameter is the MFU assumption — 0.35, a typical eager-PyTorch AMP
+figure for a mixed conv+transformer forward (pure transformer inference
+reaches ~0.4-0.5, conv-heavy eager less; the deployment path's printed
+~100-200 ms/doc single-image GPU latency bounds the unbatched rate at 5-10
+docs/s, consistent with this estimate at bs 1 overheads). The absolute
+docs/sec/chip number is the durable metric; the ratio's assumption is
+explicit above and printed in the JSON.
 """
 
 from __future__ import annotations
@@ -24,7 +34,8 @@ import time
 
 import jax
 
-ESTIMATED_A100_PYTORCH_DOCS_PER_SEC = 40.0
+A100_PEAK_BF16_FLOPS = 312e12
+ASSUMED_A100_EAGER_MFU = 0.35
 
 B, H, W, T, S = 16, 512, 384, 510, 128
 
@@ -88,14 +99,31 @@ def main():
 
     # one RTT for the scalar fetch is amortized over ITERS batches
     docs_per_sec = B * ITERS / dt
+
+    # Derived A100 baseline (see module docstring): per-doc FLOPs from XLA
+    # cost analysis of the single forward at these shapes.
+    fwd = jax.jit(
+        lambda v, b: model.apply(
+            v, b, train=False, compute_loss=False, key=jax.random.PRNGKey(0)
+        ).pred_label
+    )
+    ca = fwd.lower(variables, batch).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_doc = float(ca.get("flops", 0.0)) / B
+    baseline = A100_PEAK_BF16_FLOPS * ASSUMED_A100_EAGER_MFU / flops_per_doc
     print(
         json.dumps(
             {
                 "metric": "docs/sec/chip joint CNN+BERT forward (SROIE 512x384, bs16)",
                 "value": round(docs_per_sec, 2),
                 "unit": "docs/sec/chip",
-                "vs_baseline": round(
-                    docs_per_sec / ESTIMATED_A100_PYTORCH_DOCS_PER_SEC, 2
+                "vs_baseline": round(docs_per_sec / baseline, 2),
+                "baseline_docs_per_sec": round(baseline, 2),
+                "baseline_derivation": (
+                    f"312 TF/s A100 bf16 peak x {ASSUMED_A100_EAGER_MFU} "
+                    f"assumed eager-AMP MFU / {flops_per_doc / 1e9:.1f} "
+                    "GFLOP/doc (XLA cost analysis of this forward)"
                 ),
             }
         )

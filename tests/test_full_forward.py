@@ -1,0 +1,228 @@
+"""Full-model numeric fixture (VERDICT r1 #9): the strongest F1-parity
+evidence obtainable without real datasets.
+
+Stitches an independent oracle of the ENTIRE inference forward —
+HF PyTorch BERT → numpy window framing/aggregation oracles → sequential
+numpy scatter → a torch-functional ResNet-FPN twin driven by our own
+parameters → the published torchvision RoIAlign algorithm (numpy oracle) →
+torch late fusion + classifier — and pins our single jitted fp32 forward
+against it. Every stage is individually oracle-tested elsewhere; this test
+fails if any WIRING between them drifts.
+
+Reference wiring being pinned: model/ViBERTgrid_net.py:501-544 (forward),
+BERTgrid_generator.py:81-245, ResNetFPN_ViBERTgrid.py:324-508,
+grid_roi_align.py:43-83, field_type_classification_head.py:130-190,530-588.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.oracles import aggregate_np, roi_align_np, scatter_np
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+F = torch.nn.functional
+
+B, H, W, T, S, VOCAB = 1, 64, 64, 510, 8, 512
+
+
+def _t(x):
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
+
+
+def conv2d(x, params, stride=1, padding=None):
+    """torch conv from a flax HWIO kernel (+ optional bias)."""
+    w = _t(params["kernel"]).permute(3, 2, 0, 1).contiguous()
+    if padding is None:
+        padding = w.shape[2] // 2
+    b = _t(params["bias"]) if "bias" in params else None
+    return F.conv2d(x, w, bias=b, stride=stride, padding=padding)
+
+
+def bn(x, params, stats):
+    return F.batch_norm(
+        x,
+        _t(stats["mean"]),
+        _t(stats["var"]),
+        weight=_t(params["scale"]),
+        bias=_t(params["bias"]),
+        training=False,
+        eps=1e-5,
+    )
+
+
+def linear(x, params):
+    w = _t(params["kernel"]).T.contiguous()
+    b = _t(params["bias"]) if "bias" in params else None
+    return F.linear(x, w, b)
+
+
+def res_block(x, p, s, downsample=False):
+    h = conv2d(x, p["conv1"], stride=2 if downsample else 1)
+    h = bn(h, p["bn1"], s["bn1"])
+    h = F.relu(h)
+    h = conv2d(h, p["conv2"])
+    h = bn(h, p["bn2"], s["bn2"])
+    if downsample:
+        sc = conv2d(x, p["shortcut_conv"], stride=2, padding=0)
+        sc = bn(sc, p["shortcut_bn"], s["shortcut_bn"])
+    else:
+        sc = x
+    return F.relu(h + sc)
+
+
+def backbone_oracle(images_nhwc, grid_nhwc, p, s, size_list=(2, 2, 2, 2)):
+    """torch twin of models/resnet_fpn.py::ResNetFPN (resnet_18_fpn), using
+    the straightforward concat P_fuse formulation (so this also re-checks the
+    _SplitPointwise concat-free identity)."""
+    x = _t(images_nhwc).permute(0, 3, 1, 2)
+    x = conv2d(x, p["stem_conv"], stride=2)
+    x = bn(x, p["stem_bn"], s["stem_bn"])
+    x = F.relu(x)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+
+    for i in range(size_list[0]):
+        x = res_block(x, p[f"stage2_block{i}"], s[f"stage2_block{i}"])
+    x1 = x  # stride 4
+
+    x2 = res_block(x1, p["stage3_block0"], s["stage3_block0"], downsample=True)
+    grid = _t(grid_nhwc).permute(0, 3, 1, 2)
+    x2 = torch.cat([x2, grid], dim=1)
+    x2 = conv2d(x2, p["early_fusion"], padding=0)
+    for i in range(1, size_list[1]):
+        x2 = res_block(x2, p[f"stage3_block{i}"], s[f"stage3_block{i}"])
+    # stride 8
+
+    x3 = x2
+    for i in range(size_list[2]):
+        x3 = res_block(
+            x3, p[f"stage4_block{i}"], s[f"stage4_block{i}"], downsample=(i == 0)
+        )  # stride 16
+    x4 = x3
+    for i in range(size_list[3]):
+        x4 = res_block(
+            x4, p[f"stage5_block{i}"], s[f"stage5_block{i}"], downsample=(i == 0)
+        )  # stride 32
+    x4 = conv2d(x4, p["conv6"], padding=0)
+
+    up = lambda t_, k: t_.repeat_interleave(k, dim=2).repeat_interleave(k, dim=3)
+    x5 = conv2d(up(x4, 2) + conv2d(x3, p["skip1"], padding=0), p["merge1"])
+    x6 = conv2d(up(x5, 2) + conv2d(x2, p["skip2"], padding=0), p["merge2"])
+    x7 = conv2d(up(x6, 2) + conv2d(x1, p["skip3"], padding=0), p["merge3"])
+
+    cat = torch.cat([up(x4, 8), up(x5, 4), up(x6, 2), x7], dim=1)
+    p_fuse = F.conv2d(
+        cat, _t(p["fuse"]["kernel"]).permute(3, 2, 0, 1).contiguous()
+    )
+    return p_fuse.permute(0, 2, 3, 1).numpy()  # NHWC
+
+
+def late_fusion_oracle(rois_nhwc, seg_emb, p, s):
+    """torch twin of models/heads.py::LateFusion (eval mode)."""
+    x = _t(rois_nhwc).permute(0, 3, 1, 2)
+    pr, sr = p["roi_embedding"], s["roi_embedding"]
+    for i in (1, 2):
+        x = conv2d(x, pr[f"conv{i}"])
+        x = bn(x, pr[f"bn{i}"], sr[f"bn{i}"])
+        x = F.relu(x)
+    # flax flattens NHWC — permute back before flatten so the linear's
+    # input ordering matches the kernel's
+    x = x.permute(0, 2, 3, 1).reshape(x.shape[0], -1)
+    roi_emb = linear(x, pr["linear"])
+    fused = torch.cat([roi_emb, _t(seg_emb)], dim=1)
+    return linear(fused, p["fuse"])
+
+
+def test_full_inference_forward_matches_stitched_oracle():
+    from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
+    from vibertgrid_tpu.models.bert import load_hf_weights
+    from __graft_entry__ import _make_batch
+
+    cfg = ModelConfig(
+        num_classes=5,
+        bert_version="tiny-bert-test",
+        backbone="resnet_18_fpn",
+        classifier_mode="simp",
+    )
+    model = ViBERTgridNet(cfg)
+    batch = _make_batch(b=B, h=H, w=W, t=T, s=S, vocab=VOCAB, seed=11)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+        compute_loss=False,
+        key=jax.random.PRNGKey(2),
+    )
+
+    # HF torch BERT twin of TextEncoderConfig.tiny(); push ITS weights into
+    # our params so both sides share the encoder exactly.
+    hf_cfg = transformers.BertConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=512,
+        type_vocab_size=2,
+        pad_token_id=0,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+    hf.eval()
+    params = dict(variables["params"])
+    params["bert_model"] = load_hf_weights(
+        params["bert_model"], hf.state_dict(), 2
+    )
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    ours = jax.jit(
+        lambda v, b: model.apply(
+            v, b, train=False, compute_loss=False, key=jax.random.PRNGKey(0)
+        ).pred_label
+    )(variables, batch)
+    ours = np.asarray(ours)  # [B, S, C] softmax probs
+
+    # ---- stitched oracle ----
+    tokens = np.asarray(batch.tokens)[0]
+    token_mask = np.asarray(batch.token_mask)[0]
+    ids = np.concatenate([[101], tokens, [102]])[None]
+    amask = np.concatenate([[1], token_mask, [1]])[None]
+    with torch.no_grad():
+        tok_emb = hf(
+            input_ids=torch.from_numpy(ids).long(),
+            attention_mask=torch.from_numpy(amask).long(),
+        ).last_hidden_state.numpy()[0, 1:-1]  # unframed [T, D]
+
+    seg_emb = aggregate_np(
+        tok_emb.astype(np.float64), np.asarray(batch.seg_ids)[0], token_mask,
+        S, "mean",
+    ).astype(np.float32)
+
+    boxes = np.asarray(batch.boxes)[0]
+    mask = np.asarray(batch.box_mask)[0]
+    grid = scatter_np(seg_emb, boxes, mask, H // 8, W // 8, 8)
+
+    p = variables["params"]
+    st = variables["batch_stats"]
+    with torch.no_grad():
+        p_fuse = backbone_oracle(
+            np.asarray(batch.images), grid[None], p["backbone"], st["backbone"]
+        )
+
+        rois = roi_align_np(
+            p_fuse[0].astype(np.float64), boxes.astype(np.float64),
+            output_size=7, spatial_scale=0.25,
+        ).astype(np.float32)
+
+        fuse = late_fusion_oracle(
+            rois, seg_emb, p["late_fusion"], st["late_fusion"]
+        )
+        logits = linear(fuse, p["field_type_head"]["category_net"]["out"])
+        probs = F.softmax(logits, dim=-1).numpy()
+
+    np.testing.assert_allclose(ours[0], probs, rtol=2e-3, atol=2e-4)
