@@ -42,12 +42,17 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+_warned_replicate: set = set()
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a batch pytree with its leading dim sharded over ``data``.
 
     Batches whose leading dim is not divisible by the data axis (e.g. the
     batch-size-1 eval loop, eval_SROIE.py:103-105) are replicated instead —
-    the jitted step works under either placement.
+    the jitted step works under either placement, but every device then
+    computes the full batch redundantly, so a warning is emitted once per
+    (batch size, mesh) shape.
     """
     n_data = mesh.shape["data"]
 
@@ -55,6 +60,18 @@ def shard_batch(batch, mesh: Mesh):
         if x.shape[0] % n_data == 0:
             spec = P("data", *([None] * (x.ndim - 1)))
         else:
+            key = (x.shape[0], n_data)
+            if n_data > 1 and key not in _warned_replicate:
+                _warned_replicate.add(key)
+                import warnings
+
+                warnings.warn(
+                    f"batch dim {x.shape[0]} not divisible by data axis "
+                    f"{n_data}: replicating — each device computes the full "
+                    "batch redundantly (pad the batch or use the bucketed "
+                    "eval loader's power-of-two batches)",
+                    stacklevel=3,
+                )
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 

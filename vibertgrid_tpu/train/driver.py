@@ -400,12 +400,35 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="ViBERTgrid-TPU training")
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument(
-        "-d", "--dataset", default="sroie", choices=["sroie", "ephoie", "funsd"]
+        "-d",
+        "--dataset",
+        default="sroie",
+        choices=["sroie", "ephoie", "funsd", "synthetic"],
+    )
+    parser.add_argument(
+        "--max-steps", type=int, default=None,
+        help="truncate training after N steps (smoke runs)",
     )
     args = parser.parse_args(argv)
     with open(args.config) as f:
         hyp = yaml.safe_load(f)
-    train(hyp, args.dataset)
+    spec = None
+    dataset = args.dataset
+    if dataset == "synthetic":
+        # self-contained smoke path: generate the dataset if data_root is
+        # missing, reuse it otherwise (no downloads, verify recipe #4)
+        from vibertgrid_tpu.data.synthetic import (
+            make_synthetic_root,
+            synthetic_spec,
+        )
+
+        root = hyp.setdefault("data_root", "./synthetic_data")
+        if not os.path.exists(os.path.join(root, "train")):
+            make_synthetic_root(root, n_train=8, n_test=4, seed=0)
+        hyp.setdefault("tokenizer_path", os.path.join(root, "vocab.txt"))
+        spec = synthetic_spec()
+        dataset = "sroie"
+    train(hyp, dataset, spec=spec, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":
