@@ -24,13 +24,25 @@ from vibertgrid_tpu.train.schedules import (
 )
 
 
-def _sgd_with_scheduled_wd(lr_schedule, wd_schedule, momentum: float):
+def _sgd_with_scheduled_wd(
+    lr_schedule, wd_schedule, momentum: float, state_dtype=None
+):
     """torch.optim.SGD semantics: grad += wd * param, then momentum buffer
-    b = momentum * b + grad, update = -lr * b."""
+    b = momentum * b + grad, update = -lr * b.
+
+    ``state_dtype`` is the *storage* dtype of the momentum buffer (the
+    arithmetic is always fp32). bf16 storage halves the optimizer-state HBM
+    traffic — the train step runs at the HBM roofline
+    (tools/roofline_proof.py), so state bytes are wall-clock."""
+
+    def _store(x, like):
+        return x.astype(state_dtype or like.dtype)
 
     def init(params):
         return {
-            "momentum": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "momentum": jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, state_dtype or p.dtype), params
+            ),
             "count": jnp.zeros((), jnp.int32),
         }
 
@@ -38,24 +50,74 @@ def _sgd_with_scheduled_wd(lr_schedule, wd_schedule, momentum: float):
         step = state["count"]
         lr = lr_schedule(step)
         wd = wd_schedule(step)
-        g = jax.tree_util.tree_map(lambda gr, p: gr + wd * p, grads, params)
-        buf = jax.tree_util.tree_map(
-            lambda b, gr: momentum * b + gr, state["momentum"], g
+        g = jax.tree_util.tree_map(
+            lambda gr, p: gr.astype(jnp.float32) + wd * p.astype(jnp.float32),
+            grads,
+            params,
         )
-        updates = jax.tree_util.tree_map(lambda b: -lr * b, buf)
+        buf = jax.tree_util.tree_map(
+            lambda b, gr: momentum * b.astype(jnp.float32) + gr,
+            state["momentum"],
+            g,
+        )
+        updates = jax.tree_util.tree_map(
+            lambda b, p: (-lr * b).astype(p.dtype), buf, params
+        )
+        buf = jax.tree_util.tree_map(_store, buf, state["momentum"])
         return updates, {"momentum": buf, "count": step + 1}
 
     return optax.GradientTransformation(init, update)
 
 
-def _adamw_scheduled(lr_schedule, wd_schedule, b1, b2, eps):
-    """AdamW with scheduled lr and (decoupled) weight decay."""
+def _adamw_scheduled(lr_schedule, wd_schedule, b1, b2, eps, state_dtype=None):
+    """AdamW with scheduled lr and (decoupled) weight decay.
+
+    Matches ``optax.scale_by_adam`` exactly when ``state_dtype`` is None;
+    with ``state_dtype=bfloat16`` the first/second moments are *stored* in
+    bf16 (fp32 arithmetic, cast once on write) — the optax state tree
+    structure (``ScaleByAdamState``) is preserved so checkpoints and ZeRO-1
+    shardings are unaffected."""
 
     def init(params):
-        return {
-            "adam": optax.scale_by_adam(b1=b1, b2=b2, eps=eps).init(params),
-            "count": jnp.zeros((), jnp.int32),
-        }
+        if state_dtype is None:
+            adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps).init(params)
+        else:
+            adam = optax.ScaleByAdamState(
+                count=jnp.zeros((), jnp.int32),
+                mu=jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, state_dtype), params
+                ),
+                nu=jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, state_dtype), params
+                ),
+            )
+        return {"adam": adam, "count": jnp.zeros((), jnp.int32)}
+
+    def _adam_update(grads, adam_state):
+        count = optax.safe_int32_increment(adam_state.count)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            adam_state.mu,
+            grads,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            adam_state.nu,
+            grads,
+        )
+        bc1 = 1.0 - b1**count.astype(jnp.float32)
+        bc2 = 1.0 - b2**count.astype(jnp.float32)
+        upd = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
+        )
+        store = lambda x: x.astype(state_dtype)
+        return upd, optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(store, mu),
+            nu=jax.tree_util.tree_map(store, nu),
+        )
 
     adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
 
@@ -63,9 +125,16 @@ def _adamw_scheduled(lr_schedule, wd_schedule, b1, b2, eps):
         step = state["count"]
         lr = lr_schedule(step)
         wd = wd_schedule(step)
-        upd, adam_state = adam.update(grads, state["adam"], params)
+        if state_dtype is None:
+            upd, adam_state = adam.update(grads, state["adam"], params)
+        else:
+            upd, adam_state = _adam_update(grads, state["adam"])
         updates = jax.tree_util.tree_map(
-            lambda u, p: -lr * (u + wd * p), upd, params
+            lambda u, p: (
+                -lr * (u.astype(jnp.float32) + wd * p.astype(jnp.float32))
+            ).astype(p.dtype),
+            upd,
+            params,
         )
         return updates, {"adam": adam_state, "count": step + 1}
 
@@ -92,9 +161,17 @@ def make_optimizer(
     lr/wd arrays (``{"lr_cnn", "wd_cnn", "lr_bert", "wd_bert"}``) for the
     per-iteration console/TB log (``train_val_utils.py:215-246, 293-335``) —
     they are pure host-side functions of the step, so logging them costs no
-    device sync."""
+    device sync.
+
+    ``hyp["optimizer_state_dtype"]`` ("bfloat16" default, or "float32")
+    sets the storage dtype of the SGD momentum buffer and Adam moments; the
+    update arithmetic is fp32 either way. The step is HBM-roofline-bound
+    (tools/roofline_proof.py), so bf16 state storage converts ~1 GB/step of
+    optimizer reads+writes directly into wall-clock."""
     cnn = hyp["optimizer_cnn_hyp"]
     bert = hyp["optimizer_bert_hyp"]
+    sd_name = hyp.get("optimizer_state_dtype", "bfloat16")
+    state_dtype = None if sd_name in ("float32", "fp32") else jnp.dtype(sd_name)
 
     lr_cnn = step_scheduler(
         base_value=cnn["learning_rate"], steps=[15], gamma=0.1,
@@ -118,7 +195,10 @@ def make_optimizer(
     )
 
     sgd = _sgd_with_scheduled_wd(
-        array_schedule(lr_cnn), array_schedule(wd_cnn), cnn.get("momentum", 0.9)
+        array_schedule(lr_cnn),
+        array_schedule(wd_cnn),
+        cnn.get("momentum", 0.9),
+        state_dtype=state_dtype,
     )
     adamw = _adamw_scheduled(
         array_schedule(lr_bert),
@@ -126,6 +206,7 @@ def make_optimizer(
         bert.get("beta1", 0.9),
         bert.get("beta2", 0.999),
         bert.get("epsilon", 1e-8),
+        state_dtype=state_dtype,
     )
     tx = optax.multi_transform(
         {"cnn": sgd, "bert": adamw},
