@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-ITERS = 20
+ITERS = int(os.environ.get("ITERS", "100"))
 
 
 def main():

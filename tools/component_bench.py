@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 20
+ITERS = int(os.environ.get("ITERS", "200"))
 B, H, W, T, S = 8, 512, 384, 510, 128
 DTYPE = jnp.bfloat16
 
@@ -163,8 +163,8 @@ def main():
     def head_path(p, x):
         r = roi_align(x, boxes.astype(jnp.float32), bm, output_size=7,
                       spatial_scale=0.25)
-        f = lf.apply(p["lf"], r.reshape(B * S, 7, 7, -1), semb, vmask, True,
-                     rngs={"dropout": key})
+        f, _ = lf.apply(p["lf"], r.reshape(B * S, 7, 7, -1), semb, vmask,
+                        True, rngs={"dropout": key}, mutable=["batch_stats"])
         loss, _, _ = fh.apply(p["fh"], f, segc.reshape(-1), vmask, train=True,
                               compute_loss=True, key=key, rngs={"dropout": key})
         return loss.astype(jnp.float32)

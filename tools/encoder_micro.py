@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 30
+ITERS = int(os.environ.get("ITERS", "200"))
 B, T, D, H = 8, 512, 768, 12
 
 

@@ -4,8 +4,14 @@ Compiles the EXACT jitted programs that tools/train_breakdown.py times
 (same shapes, same fori_loop wrappers so fusion decisions match), pulls
 XLA's `cost_analysis()` bytes/FLOPs for each, and divides by the measured
 wall time to print achieved HBM bandwidth and MXU utilization next to the
-v5e peaks (810 GB/s, 197 TF/s bf16 — 167 TF/s measured via tools/
-mxu_calib.py through this tunnel).
+v5e peaks (810 GB/s; 186.8 TF/s bf16 measured on an 8192^3 matmul at
+ITERS=400, tools/matmul_sweep.py — the earlier 167 TF/s figure was
+fetch-overhead-inflated at ITERS=40).
+
+MEASUREMENT RULE (learned the hard way): the ~29 ms tunnel fetch divides
+over ITERS, so every per-iteration number carries +29/ITERS ms. At the
+old ITERS=20 that was +1.45 ms per number — enough to invent a fake
+"30 TF/s matmul cliff" at BERT shapes. Keep ITERS >= 100 (CLAUDE.md).
 
 The claim being proven/refuted: the train step is HBM-bound and runs at
 the roofline, so further optimization must REDUCE BYTES (CLAUDE.md).
@@ -22,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-ITERS = 20
+ITERS = int(os.environ.get("ITERS", "100"))
 HBM_PEAK_GBS = 810.0
-MXU_PEAK_TFS = 167.0
+MXU_PEAK_TFS = 186.8
 
 
 def main():
