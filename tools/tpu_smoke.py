@@ -85,6 +85,24 @@ def main():
         bool(jnp.all(d1 == d2)) and not bool(jnp.all(d1 == d3)),
     )
 
+    # --- fp32 (amp: False) fwd+bwd: the head-group cap is dtype-aware;
+    # an fp32 compile at the bf16 group size dies with a scoped-VMEM OOM
+    # in the backward kernel at BERT-base bs8 shapes (regression: the
+    # roberta convergence run through the driver, r2) ---
+    q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+    got32 = flash_attention(q32, k32, v32, bias, seed0, 0.125, h, 0.0, False)
+    err32 = float(
+        jnp.max(jnp.abs(got32 - want.astype(jnp.float32)))
+    )
+    check("flash_attention fp32 fwd", err32 < 2e-2, f"max err {err32:.2e}")
+    g32 = jax.grad(
+        lambda q: jnp.sum(
+            flash_attention(q, k32, v32, bias, seed0, 0.125, h, 0.0, False)
+        )
+    )(q32)
+    check("flash_attention fp32 grad finite",
+          bool(jnp.all(jnp.isfinite(g32))))
+
     # --- pallas scatter: compiled, batched, grads, non-aligned height ---
     from vibertgrid_tpu.ops.pallas_scatter import bertgrid_scatter_pallas
     from vibertgrid_tpu.ops.rasterize import bertgrid_scatter

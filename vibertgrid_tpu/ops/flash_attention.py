@@ -50,7 +50,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _heads_per_program(num_heads: int, d_head: int, batch: int = 1) -> int:
+def _heads_per_program(
+    num_heads: int, d_head: int, batch: int = 1, itemsize: int = 2
+) -> int:
     """Heads per grid program: lane-aligned packed width, sized so the grid
     keeps ≥16 programs for pipeline overlap.
 
@@ -58,13 +60,17 @@ def _heads_per_program(num_heads: int, d_head: int, batch: int = 1) -> int:
     0.398→0.357 ms/call going from G=2 to G=6) but too few programs starve
     the Mosaic pipeline (bs8 G=12 is slower than G=6), and the backward
     kernel's working set (4 packed [T, G·D] blocks + 3 outputs + the fp32
-    [T, T] intermediates) overflows the 16 MB scoped VMEM above G·D = 384
-    at T=512. The largest aligned divisor with ``G·D ≤ 384`` and ``batch ·
+    [T, T] intermediates) overflows the 16 MB scoped VMEM above
+    ``G·D·itemsize = 768`` bytes of packed width at T=512 — measured as
+    G·D = 384 in bf16, and a compile-time "scoped vmem limit exceeded"
+    at the same G·D in fp32 (amp: False), hence the dtype-aware cap.
+    The largest aligned divisor under the cap with ``batch ·
     num_heads / G ≥ 16`` picks the measured best at both batch sizes; fall
     back to the smallest aligned group."""
+    cap = 384 * 2 // itemsize
     divisors = [g for g in range(1, num_heads + 1) if num_heads % g == 0]
     lane_aligned = [g for g in divisors if (g * d_head) % 128 == 0]
-    aligned = [g for g in lane_aligned if g * d_head <= 384]
+    aligned = [g for g in lane_aligned if g * d_head <= cap]
     if not aligned:
         # nothing fits the VMEM cap: the smallest lane-aligned group is the
         # least-VMEM choice (never num_heads — that maximises the overflow)
@@ -246,7 +252,7 @@ def _call_geometry(q, num_heads):
     b, t, m = q.shape
     assert m % num_heads == 0, (m, num_heads)
     d = m // num_heads
-    g = _heads_per_program(num_heads, d, batch=b)
+    g = _heads_per_program(num_heads, d, batch=b, itemsize=q.dtype.itemsize)
     tp = _round_up(t, 128)
     return b, t, m, d, g, tp
 
