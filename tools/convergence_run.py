@@ -107,8 +107,12 @@ def main():
         )
 
     results = train(hyp, "sroie", spec=synthetic_spec())
-    print(f"\nconfig={args.config} epochs={args.epochs} "
-          f"final={results}")
+    scalars = {
+        k: round(float(v), 4)
+        for k, v in results.items()
+        if isinstance(v, (int, float)) or getattr(v, "ndim", None) == 0
+    }
+    print(f"\nconfig={args.config} epochs={args.epochs} final={scalars}")
 
 
 if __name__ == "__main__":
