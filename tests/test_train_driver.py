@@ -187,3 +187,22 @@ def test_train_driver_roberta_crf_smoke(tmp_path):
     results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
     assert np.isfinite(results["primary_F1"])
     assert results["loss"] is None or np.isfinite(results["loss"])
+
+
+def test_build_all_threads_mesh_into_model_config():
+    """A multi-device mesh reaches TextEncoderConfig.mesh (the sharded
+    fused-attention wrapper's switch); 1-device meshes leave it None."""
+    from vibertgrid_tpu.parallel import make_mesh
+    from vibertgrid_tpu.train.driver import build_all
+
+    hyp = {"num_classes": 5, "bert_version": "tiny-bert-test",
+           "backbone": "resnet_18_fpn"}
+    mesh = make_mesh(data=2, model=2)
+    _, cfg, model, *_ = build_all(hyp, "sroie", spec=synthetic_spec(),
+                                  mesh=mesh)
+    assert cfg.mesh is mesh
+    assert cfg.resolved_text_config().mesh is mesh
+
+    _, cfg1, *_ = build_all(hyp, "sroie", spec=synthetic_spec(),
+                            mesh=make_mesh(data=1, model=1))
+    assert cfg1.mesh is None

@@ -76,11 +76,16 @@ class TextEncoderConfig:
     flavor: str = "bert"  # "bert" | "roberta"
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
-    # "auto": fused Pallas attention on TPU whenever prob-dropout is inactive
-    # (deterministic or rate 0); "flash"/"xla" force a path. The XLA einsum
-    # path remains the choice under attention-prob dropout and head-sharded
-    # tensor parallelism (GSPMD cannot partition a pallas_call).
+    # "auto": fused Pallas attention on TPU; "flash"/"xla" force a path.
+    # Multi-device meshes keep the fused kernel via a shard_map wrapper
+    # (batch on `data`, heads on `model` — see flash_attention_sharded) when
+    # `mesh` is set and the head/batch counts divide the axis sizes; the XLA
+    # einsum path remains the oracle, the CPU default, and the fallback when
+    # they don't.
     attention_impl: str = "auto"
+    # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
+    # None (or a 1-device mesh) selects the plain single-device kernel.
+    mesh: Any = None
 
     @staticmethod
     def tiny(flavor: str = "bert") -> "TextEncoderConfig":
@@ -125,11 +130,20 @@ class SelfAttention(nn.Module):
         use_flash = cfg.attention_impl == "flash" or (
             cfg.attention_impl == "auto" and jax.default_backend() == "tpu"
         )
+        mesh = cfg.mesh
+        n_mesh = 1
+        if mesh is not None:
+            n_mesh = mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
+            if n_mesh > 1 and (h % mesh.shape["model"] or b % mesh.shape["data"]):
+                use_flash = False  # indivisible: einsum path (GSPMD handles it)
         if use_flash:
             # Packed-head fused kernel: consumes the projection outputs
             # [b, t, h·dh] directly, so no head transposes exist at all.
             # Attention-prob dropout runs in-kernel off a per-step seed.
-            from vibertgrid_tpu.ops.flash_attention import flash_attention
+            from vibertgrid_tpu.ops.flash_attention import (
+                flash_attention,
+                flash_attention_sharded,
+            )
 
             rate = 0.0 if deterministic else cfg.attention_dropout
             if rate > 0.0:
@@ -138,7 +152,7 @@ class SelfAttention(nn.Module):
                 )
             else:
                 seed = jnp.zeros((), jnp.int32)
-            ctx = flash_attention(
+            args = (
                 q,
                 k,
                 v,
@@ -149,6 +163,10 @@ class SelfAttention(nn.Module):
                 rate,
                 jax.default_backend() != "tpu",  # interpret off-TPU (tests)
             )
+            if n_mesh > 1:
+                ctx = flash_attention_sharded(*args, mesh=mesh)
+            else:
+                ctx = flash_attention(*args)
         else:
             q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
             k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)

@@ -110,6 +110,7 @@ class ModelConfig:
     sep_token_id: int = 102
     compute_dtype: Any = jnp.float32
     attention_impl: str = "auto"               # see TextEncoderConfig
+    mesh: Any = None                           # ("data","model") device mesh
     text_config: TextEncoderConfig | None = None  # override (tests)
 
     @property
@@ -124,7 +125,11 @@ class ModelConfig:
         import dataclasses as _dc
 
         if self.text_config is not None:
-            return _dc.replace(self.text_config, attention_impl=self.attention_impl)
+            return _dc.replace(
+                self.text_config,
+                attention_impl=self.attention_impl,
+                mesh=self.mesh,
+            )
         if self.bert_version not in BERT_MODEL_REGISTRY:
             raise ValueError(
                 f"unknown bert_version {self.bert_version!r}; "
@@ -146,7 +151,9 @@ class ModelConfig:
             cfg = TextEncoderConfig.tiny(flavor)
         else:
             cfg = TextEncoderConfig.base(flavor, vocab)
-        return _dc.replace(cfg, attention_impl=self.attention_impl)
+        return _dc.replace(
+            cfg, attention_impl=self.attention_impl, mesh=self.mesh
+        )
 
     @staticmethod
     def from_yaml_dict(hyp: dict) -> "ModelConfig":

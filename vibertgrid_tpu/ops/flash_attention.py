@@ -205,6 +205,22 @@ def _bwd_kernel(
     db_ref[0] = db_acc.astype(db_ref.dtype)
 
 
+def _vma(*xs) -> frozenset:
+    """Union of the inputs' varying-mesh-axes (non-empty only under
+    ``shard_map``). ``pallas_call`` does not infer vma for its outputs the
+    way regular ops do, so the callers thread this into ``out_shape``."""
+    out: frozenset = frozenset()
+    for x in xs:
+        out = out | getattr(jax.typeof(x), "vma", frozenset())
+    return out
+
+
+def _struct(shape, dtype, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _pad_t(x, tp, value=0.0):
     t = x.shape[1]
     if tp == t:
@@ -279,7 +295,7 @@ def _flash_attention_fwd(q, k, v, bias, seed, sm_scale, num_heads, rate,
         grid=(b * groups,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, _seed_spec()],
         out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((b, tp, m), q.dtype),
+        out_shape=_struct((b, tp, m), q.dtype, _vma(qp, kp, vp, biasp)),
         interpret=interpret,
     )(qp, kp, vp, biasp[:, None, :], seed2d)
     return out[:, :t], (q, k, v, bias, seed)
@@ -303,6 +319,7 @@ def _flash_attention_bwd(sm_scale, num_heads, rate, interpret, residuals,
     kernel = functools.partial(
         _bwd_kernel, sm_scale=sm_scale, heads=g, d=d, rate=rate
     )
+    vma = _vma(qp, kp, vp, biasp, gp)
     dq, dk, dv, db = pl.pallas_call(
         kernel,
         grid=(b * groups,),
@@ -310,18 +327,100 @@ def _flash_attention_bwd(sm_scale, num_heads, rate, interpret, residuals,
                   qkv_spec],
         out_specs=(qkv_spec, qkv_spec, qkv_spec, db_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, tp, m), q.dtype),
-            jax.ShapeDtypeStruct((b, tp, m), k.dtype),
-            jax.ShapeDtypeStruct((b, tp, m), v.dtype),
-            jax.ShapeDtypeStruct((b * groups, 1, tp), jnp.float32),
+            _struct((b, tp, m), q.dtype, vma),
+            _struct((b, tp, m), k.dtype, vma),
+            _struct((b, tp, m), v.dtype, vma),
+            _struct((b * groups, 1, tp), jnp.float32, vma),
         ),
         interpret=interpret,
     )(qp, kp, vp, biasp[:, None, :], seed2d, gp)
     d_bias = (
         db.reshape(b, groups, tp)[:, :, :t].sum(axis=1).astype(bias.dtype)
     )
+    # Under shard_map with heads sharded (vma carries a mesh axis the bias
+    # does not vary over), each shard saw only its local head group: the true
+    # bias cotangent is the sum over that axis.
+    extra = vma - _vma(bias)
+    if extra:
+        d_bias = jax.lax.psum(d_bias, tuple(sorted(extra)))
     d_seed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
     return dq[:, :t], dk[:, :t], dv[:, :t], d_bias, d_seed
 
 
 flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention_sharded(
+    q,
+    k,
+    v,
+    bias,
+    seed,
+    sm_scale,
+    num_heads,
+    rate=0.0,
+    interpret=False,
+    *,
+    mesh,
+    data_axis="data",
+    model_axis="model",
+):
+    """:func:`flash_attention` under a multi-device mesh.
+
+    GSPMD cannot partition a ``pallas_call``, but the kernel's grid is
+    embarrassingly parallel over (batch · head group): this wrapper runs it
+    per-shard via ``shard_map`` with the canonical Megatron placement — batch
+    on ``data``, heads on ``model`` (matching ``parallel.sharding``'s QKV
+    output-dim split, so the kernel consumes the TP-sharded projection
+    outputs with no resharding and its output feeds the input-dim-sharded
+    out-projection directly). Gradients flow through the kernel's custom VJP
+    per shard; the bias cotangent is psum'd over ``model`` (each shard only
+    sees its local head group).
+
+    Requirements: ``num_heads`` divisible by the ``model`` axis size, batch
+    divisible by the ``data`` axis size. Callers fall back to the XLA einsum
+    path when these don't hold (see ``models/bert.py``).
+
+    ``check_vma=False``: the interpret-mode pallas lowering (the CPU test
+    path) cannot propagate varying-mesh-axis metadata through its block-fetch
+    loop, and with checking off the replicated-``bias`` cotangent would come
+    back unreduced over ``model`` — so the wrapper stops the bias gradient
+    instead. The bias is an additive rendering of the attention mask (derived
+    from integer token ids) and carries no gradient in this model; the
+    unsharded :func:`flash_attention` still returns the true bias cotangent.
+    """
+    dp = mesh.shape[data_axis]
+    mp = mesh.shape[model_axis]
+    b = q.shape[0]
+    assert num_heads % mp == 0, (num_heads, mp)
+    assert b % dp == 0, (b, dp)
+    bias = jax.lax.stop_gradient(bias)
+
+    def local(q, k, v, bias, seed):
+        if rate > 0.0:
+            # Kernel program ids restart at 0 on every shard: decorrelate the
+            # in-kernel dropout streams by folding the shard index into the
+            # seed (wrapping int32 add — splitmix only needs distinctness).
+            shard = (
+                jax.lax.axis_index(data_axis) * mp
+                + jax.lax.axis_index(model_axis)
+            )
+            seed = seed + shard.astype(jnp.int32) * jnp.int32(2**16)
+        return flash_attention(
+            q, k, v, bias, seed, sm_scale, num_heads // mp, rate, interpret
+        )
+
+    qkv = jax.sharding.PartitionSpec(data_axis, None, model_axis)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            qkv,
+            qkv,
+            qkv,
+            jax.sharding.PartitionSpec(data_axis, None),
+            jax.sharding.PartitionSpec(),
+        ),
+        out_specs=qkv,
+        check_vma=False,
+    )(q, k, v, bias, seed)

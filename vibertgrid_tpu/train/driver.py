@@ -83,8 +83,13 @@ def build_tokenizer(hyp: dict):
     return cls.from_pretrained(path)
 
 
-def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
-    """Construct (spec, model, optimizer fn pieces, transform, collator)."""
+def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None, mesh=None):
+    """Construct (spec, model, optimizer fn pieces, transform, collator).
+
+    ``mesh``: a multi-device ("data", "model") mesh to thread into the
+    encoder so the fused attention kernel runs per-shard (shard_map) instead
+    of falling back to the einsum path — see ``flash_attention_sharded``.
+    """
     spec = spec or get_spec(dataset)
     tag_mode = hyp.get("tag_mode", "B")
     tag_to_idx = spec.tag_to_idx(tag_mode)
@@ -93,6 +98,8 @@ def build_all(hyp: dict, dataset: str, tokenizer=None, spec=None):
     if hyp.get("classifier_mode") == "crf" or tag_mode == "BIO":
         model_cfg_dict["tag_to_idx"] = tag_to_idx
     cfg = ModelConfig.from_yaml_dict(model_cfg_dict)
+    if mesh is not None and mesh.devices.size > 1:
+        cfg = __import__("dataclasses").replace(cfg, mesh=mesh)
     if tokenizer is not None:
         # RoBERTa's <s> id is 0 (falsy!) — `or 101` would silently frame
         # every RoBERTa window with BERT's [CLS]. Explicit None checks only.
@@ -185,16 +192,22 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         avail = max(len(jax.devices()) // model_axis, 1)
         data_axis = next(d for d in range(min(avail, batch_size), 0, -1)
                          if batch_size % d == 0)
+    mesh = make_mesh(data=data_axis, model=model_axis)
     if data_axis * model_axis > 1 and hyp.get("attention_impl", "auto") == "auto":
-        # GSPMD cannot partition a pallas_call: under head-sharded tensor
-        # parallelism the fused kernel would force all-gathers of the sharded
-        # activations, and even pure data parallelism would replicate the
-        # batch into every kernel invocation. Any multi-device mesh therefore
-        # keeps the einsum path, which GSPMD partitions along batch/heads for
-        # free; the fused kernel stays the single-chip (1x1 mesh) fast path.
-        hyp = dict(hyp, attention_impl="xla")
+        if jax.default_backend() != "tpu":
+            # GSPMD cannot partition a pallas_call, and on non-TPU backends
+            # (the virtual CPU mesh used by tests / dryrun_multichip) the
+            # kernel would have to run interpreted: multi-device CPU meshes
+            # keep the einsum path, which GSPMD partitions for free.
+            hyp = dict(hyp, attention_impl="xla")
+        # On TPU the mesh threads into the encoder and the fused kernel runs
+        # per-shard under shard_map (batch on `data`, heads on `model` — the
+        # same placement parallel/sharding.py gives the projection outputs);
+        # the encoder falls back to einsum itself if head/batch counts don't
+        # divide the axis sizes. See ops/flash_attention.flash_attention_sharded.
     spec, cfg, model, transform, collator, tag_to_idx = build_all(
-        hyp, dataset, tokenizer, spec
+        hyp, dataset, tokenizer, spec,
+        mesh=mesh if jax.default_backend() == "tpu" else None,
     )
     data_root = hyp["data_root"]
     start_epoch = hyp.get("start_epoch", 0)
@@ -226,7 +239,6 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         transform.image_mean = m.tolist()
         transform.image_std = s.tolist()
 
-    mesh = make_mesh(data=data_axis, model=model_axis)
     niter_per_ep = max(len(train_ds) // batch_size, 1)
     optimizer, schedules = make_optimizer(
         hyp, end_epoch, niter_per_ep, return_schedules=True
