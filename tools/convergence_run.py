@@ -12,6 +12,13 @@ Configs mirror the reference's published rows (BASELINE.md):
                      — BASELINE row #2 / VERDICT r1 "config #4", exercising
                      the <s>=0 cls id, BPE tokenizer files, BIO transitions
                      and Viterbi decode end-to-end through the driver.
+  --config full      BERT-base-uncased + ResNet-18-FPN, the paper's
+                     two-stage head (binary pos/neg gate + per-class BCE-OHEM
+                     classifiers, ref field_type_classification_head.py:193-407)
+                     with the full (non-simplified) aux seg head.
+
+Measured (v5e, 32 synthetic train docs): bert F1=1.0 @20 epochs,
+roberta F1=1.0 @60.
 
 Usage: python tools/convergence_run.py --config roberta [--epochs 20]
 """
@@ -28,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["bert", "roberta"], default="roberta")
+    ap.add_argument(
+        "--config", choices=["bert", "roberta", "full"], default="roberta"
+    )
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n-train", type=int, default=32)
     ap.add_argument("--n-test", type=int, default=8)
@@ -97,6 +106,13 @@ def main():
             classifier_mode="crf",
             tag_mode="BIO",
             eval_mode="seqeval",
+        )
+    elif args.config == "full":
+        hyp.update(
+            bert_version="bert-base-uncased",
+            tokenizer_path=f"{root}/vocab.txt",
+            classifier_mode="full",
+            tag_mode="B",
         )
     else:
         hyp.update(
