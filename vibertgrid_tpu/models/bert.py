@@ -83,6 +83,12 @@ class TextEncoderConfig:
     # einsum path remains the oracle, the CPU default, and the fallback when
     # they don't.
     attention_impl: str = "auto"
+    # "fused": the fused FFN Pallas kernel (GEMM→gelu→GEMM→dropout→residual→
+    # LN in one VMEM-resident program, ops/fused_ffn.py), per data shard
+    # under a pure-DP mesh; falls back to the einsum path under TP (the
+    # partial FFN outputs need a psum before residual+LN) and on CPU.
+    # "auto" currently selects the einsum path (pending the chip A/B).
+    ffn_impl: str = "auto"
     # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
     # None (or a 1-device mesh) selects the plain single-device kernel.
     mesh: Any = None
@@ -185,6 +191,35 @@ class SelfAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Parameter twin of ``nn.Dense`` (same names, shapes, initializers):
+    lets the fused-FFN branch own the identical param tree the einsum branch
+    creates via ``nn.Dense`` — checkpoints and HF weight loading see one
+    layout regardless of ``ffn_impl``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter twin of :class:`LayerNorm` (scale/bias)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
 class EncoderLayer(nn.Module):
     config: TextEncoderConfig
     dtype: Any = jnp.float32
@@ -199,6 +234,49 @@ class EncoderLayer(nn.Module):
         hidden = LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
         )(hidden + attn)
+
+        # FFN tail. "auto": the fused Pallas kernel on TPU whenever the model
+        # axis is unsharded (under TP the partial FFN outputs need a psum
+        # before residual+LN — the fusion boundary; see ops/fused_ffn.py).
+        mesh = cfg.mesh
+        b, t, _ = hidden.shape
+        multi = mesh is not None and mesh.devices.size > 1
+        # "fused" opt-in only until the kernel is chip-validated + measured
+        # (tools/tpu_smoke.py + an encoder A/B); flip "auto" here if it wins.
+        use_fused = cfg.ffn_impl == "fused"
+        if use_fused and multi and (
+            mesh.shape.get("model", 1) > 1 or b % mesh.shape["data"]
+        ):
+            # TP shards the FFN weights on the intermediate dim — the partial
+            # outputs need a psum before residual+LN, the fusion boundary —
+            # and an indivisible batch can't row-shard: einsum path.
+            use_fused = False
+        if use_fused:
+            from vibertgrid_tpu.ops.fused_ffn import fused_ffn, fused_ffn_sharded
+
+            d = cfg.hidden_size
+            w1, b1 = _DenseParams(cfg.intermediate_size, name="intermediate")(d)
+            w2, b2 = _DenseParams(d, name="output")(cfg.intermediate_size)
+            g, bt = _LayerNormParams(name="output_ln")(d)
+            rate = 0.0 if deterministic else cfg.hidden_dropout
+            if rate > 0.0:
+                seed = derive_seed(self.make_rng("dropout"))
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            x2d = hidden.reshape(b * t, d)
+            interpret = jax.default_backend() != "tpu"  # tests
+            if multi:
+                out2d = fused_ffn_sharded(
+                    x2d, w1, b1, w2, b2, g, bt, seed,
+                    cfg.layer_norm_eps, rate, interpret, mesh=mesh,
+                )
+            else:
+                out2d = fused_ffn(
+                    x2d, w1, b1, w2, b2, g, bt, seed,
+                    cfg.layer_norm_eps, rate, interpret,
+                )
+            return out2d.reshape(b, t, d)
+
         inter = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate")(
             hidden
         )

@@ -110,6 +110,7 @@ class ModelConfig:
     sep_token_id: int = 102
     compute_dtype: Any = jnp.float32
     attention_impl: str = "auto"               # see TextEncoderConfig
+    ffn_impl: str = "auto"                     # see TextEncoderConfig
     mesh: Any = None                           # ("data","model") device mesh
     text_config: TextEncoderConfig | None = None  # override (tests)
 
@@ -128,6 +129,7 @@ class ModelConfig:
             return _dc.replace(
                 self.text_config,
                 attention_impl=self.attention_impl,
+                ffn_impl=self.ffn_impl,
                 mesh=self.mesh,
             )
         if self.bert_version not in BERT_MODEL_REGISTRY:
@@ -152,7 +154,10 @@ class ModelConfig:
         else:
             cfg = TextEncoderConfig.base(flavor, vocab)
         return _dc.replace(
-            cfg, attention_impl=self.attention_impl, mesh=self.mesh
+            cfg,
+            attention_impl=self.attention_impl,
+            ffn_impl=self.ffn_impl,
+            mesh=self.mesh,
         )
 
     @staticmethod
@@ -187,6 +192,7 @@ class ModelConfig:
             ohem_random=hyp.get("ohem_random", False),
             compute_dtype=jnp.bfloat16 if hyp.get("amp", False) else jnp.float32,
             attention_impl=hyp.get("attention_impl", "auto"),
+            ffn_impl=hyp.get("ffn_impl", "auto"),
         )
 
 

@@ -1,0 +1,289 @@
+"""Pallas TPU kernel: fused transformer FFN tail.
+
+One VMEM-resident program computes, per row tile,
+
+    LayerNorm(x + dropout(gelu(x @ W1 + b1) @ W2 + b2))
+
+— the entire FFN half of a BERT encoder layer (reference: HF ``BertLayer``'s
+intermediate/output modules, driven from
+``/root/reference/model/BERTgrid_generator.py:99-146``; our XLA twin is the
+tail of ``models/bert.EncoderLayer``).
+
+Why: the XLA path materialises the ``[N, 4D]`` intermediate in HBM between
+the two GEMMs (write + read ≈ 100 MB/layer at bench shapes) and runs the
+gelu / dropout / residual / LayerNorm elementwise phases as separate
+HBM-bound passes serialized between the MXU GEMMs — the per-component table
+in docs/ARCHITECTURE.md shows the encoder carrying ~45% slack over
+max(HBM, MXU) ideal from exactly this phase alternation. In the kernel the
+intermediate lives only in VMEM and every elementwise op happens on
+registers between the two dots: HBM sees x once in, the normalized output
+once out, and the weights once per call.
+
+Numerics: both dots accumulate fp32 (``preferred_element_type``); gelu is
+the exact (erf) form computed in fp32; LayerNorm uses fp32 E[x²]−E[x]²
+statistics exactly like ``models/norm.LayerNorm``. Dropout is the same
+counter-based splitmix32 hash of (seed, global flat index) as
+:mod:`vibertgrid_tpu.ops.dropout` — bit-identical keep decisions to
+``hash_dropout`` on the ``[N, D]`` output, which the backward pass relies
+on.
+
+Backward: a custom VJP recomputes the forward **in XLA** (the reference
+formulation below) and differentiates that — flash-style rematerialisation
+at the layer level. The fwd kernel's byte savings are kept; the bwd graph
+is the standard GSPMD-partitionable XLA one; the dropout mask regenerates
+identically from the seed in both.
+
+TP caveat: under a ``model``-sharded mesh the FFN weights are split on the
+intermediate dim and the partial outputs need a psum *before* the residual
++ LN — the fusion boundary. The encoder therefore uses this kernel only
+when the model axis is 1 (single device or pure data parallel); tensor
+parallelism keeps the einsum path (see ``models/bert.EncoderLayer``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vibertgrid_tpu.ops.dropout import splitmix32
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _gelu_exact_f32(x):
+    # jax.nn.gelu(approximate=False) in fp32: 0.5 x (1 + erf(x / sqrt(2)))
+    return 0.5 * x * (1.0 + jax.lax.erf(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def ffn_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate):
+    """XLA formulation the kernel fuses (and the VJP differentiates).
+
+    ``x``: [N, D] in the compute dtype; weights/biases/LN params fp32
+    (cast like flax ``Dense(dtype=...)`` does). Matches the pre-kernel
+    ``EncoderLayer`` tail op-for-op, with fp32 dot accumulation.
+    """
+    dt = x.dtype
+    inter = (
+        jnp.dot(x, w1.astype(dt), preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32)
+    )
+    inter = _gelu_exact_f32(inter).astype(dt)
+    out = (
+        jnp.dot(inter, w2.astype(dt), preferred_element_type=jnp.float32)
+        + b2.astype(jnp.float32)
+    )
+    if rate > 0.0:
+        n = out.size
+        bits = splitmix32(
+            jax.lax.iota(jnp.uint32, n).reshape(out.shape), seed
+        )
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    res = x.astype(jnp.float32) + out
+    mean = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(res), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (res - mean) * jax.lax.rsqrt(var + eps)
+    return (y * ln_scale + ln_bias).astype(dt)
+
+
+def _ffn_kernel(
+    x_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    g_ref,
+    bt_ref,
+    seed_ref,
+    out_ref,
+    *,
+    eps,
+    rate,
+    rows,
+    d,
+):
+    x = x_ref[...]  # [R, D] compute dtype
+    inter = (
+        jax.lax.dot_general(
+            x,
+            w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...]
+    )
+    inter = _gelu_exact_f32(inter).astype(x.dtype)
+    out = (
+        jax.lax.dot_general(
+            inter,
+            w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[...]
+    )  # [R, D] fp32
+    if rate > 0.0:
+        pid = pl.program_id(0)
+        seed = seed_ref[0, 0]
+        r = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
+        flat = (pid.astype(jnp.uint32) * jnp.uint32(rows) + r) * jnp.uint32(
+            d
+        ) + c
+        bits = splitmix32(flat, seed)
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    res = x.astype(jnp.float32) + out
+    mean = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(res), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (res - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (y * g_ref[...] + bt_ref[...]).astype(out_ref.dtype)
+
+
+def _row_tile(n: int, d: int, f: int, itemsize: int) -> int:
+    """Largest row tile keeping the working set under the VMEM budget.
+
+    Resident per program: W1 + W2 (constant blocks, itemsize), the fp32
+    [R, F] intermediate (the dominant per-row term), x/out [R, D], and
+    fp32 [R, D] temporaries. Target ≤ ~13 MB of the 16 MB scoped VMEM.
+    """
+    budget = 13 * 2**20
+    weights = 2 * d * f * itemsize
+    per_row = f * 4 + f * itemsize + d * itemsize * 2 + d * 4 * 2
+    for r in (512, 256, 128, 64, 32, 16):
+        if weights + r * per_row <= budget:
+            return r
+    return 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_ffn(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate=0.0,
+              interpret=False):
+    """Fused GEMM→gelu→GEMM→dropout→residual→LayerNorm.
+
+    ``x``: [N, D] compute-dtype rows (callers fold [B, T, D] to 2-D; the
+    dropout indexing matches ``hash_dropout`` on the same array). Weights,
+    biases and LN params are the fp32 flax param leaves. ``seed``: scalar
+    int32 (ignored when ``rate == 0``). Returns [N, D] in ``x.dtype``.
+    """
+    out, _ = _fused_ffn_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                            rate, interpret)
+    return out
+
+
+def _fused_ffn_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate,
+                   interpret):
+    n, d = x.shape
+    f = w1.shape[1]
+    dt = x.dtype
+    r = _row_tile(n, d, f, dt.itemsize)
+    np_rows = _round_up(n, r)
+    xp = jnp.pad(x, ((0, np_rows - n), (0, 0))) if np_rows != n else x
+
+    row_spec = pl.BlockSpec((r, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_ffn_kernel, eps=eps, rate=rate, rows=r, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_rows // r,),
+        in_specs=[
+            row_spec,
+            const((d, f)),
+            const((1, f)),
+            const((f, d)),
+            const((1, d)),
+            const((1, d)),
+            const((1, d)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((np_rows, d), dt),
+        interpret=interpret,
+    )(
+        xp,
+        w1.astype(dt),
+        b1.astype(jnp.float32).reshape(1, f),
+        w2.astype(dt),
+        b2.astype(jnp.float32).reshape(1, d),
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+    )
+    return out[:n], (x, w1, b1, w2, b2, ln_scale, ln_bias, seed)
+
+
+def _fused_ffn_bwd(eps, rate, interpret, residuals, grad):
+    x, w1, b1, w2, b2, ln_scale, ln_bias, seed = residuals
+    # Rematerialise through the XLA formulation: same dropout mask by
+    # construction (identical splitmix32 of (seed, global flat index)).
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2, g, bt: ffn_reference(
+            x, w1, b1, w2, b2, g, bt, seed, eps, rate
+        ),
+        x, w1, b1, w2, b2, ln_scale, ln_bias,
+    )
+    dx, dw1, db1, dw2, db2, dg, dbt = vjp(grad)
+    d_seed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return dx, dw1, db1, dw2, db2, dg, dbt, d_seed
+
+
+fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
+
+
+def fused_ffn_sharded(
+    x,
+    w1,
+    b1,
+    w2,
+    b2,
+    ln_scale,
+    ln_bias,
+    seed,
+    eps,
+    rate=0.0,
+    interpret=False,
+    *,
+    mesh,
+    data_axis="data",
+):
+    """:func:`fused_ffn` per data shard under a multi-device mesh.
+
+    Rows (the folded batch·T axis) shard on ``data``; weights/LN params
+    replicate. The transpose of a replicated (``P()``) ``shard_map`` input
+    is a psum over the mesh, so weight gradients accumulate correctly
+    across shards (pinned by ``tests/test_fused_ffn.py``). Dropout streams
+    decorrelate by folding the shard index into the seed — in-kernel
+    program ids and the reference's flat iota both restart per shard.
+
+    TP (a >1 ``model`` axis) is deliberately unsupported: the weights would
+    shard on the intermediate dim and the partial FFN outputs need a psum
+    *before* the residual + LayerNorm, which is the fusion boundary —
+    callers use the einsum path there (``models/bert.EncoderLayer``).
+    """
+    n = x.shape[0]
+    dp = mesh.shape[data_axis]
+    assert n % dp == 0, (n, dp)
+    P = jax.sharding.PartitionSpec
+
+    def local(x, w1, b1, w2, b2, g, bt, seed):
+        if rate > 0.0:
+            shard = jax.lax.axis_index(data_axis)
+            seed = seed + shard.astype(jnp.int32) * jnp.int32(2**16)
+        return fused_ffn(x, w1, b1, w2, b2, g, bt, seed, eps, rate, interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, None),) + (P(),) * 7,
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )(x, w1, b1, w2, b2, ln_scale, ln_bias, seed)
