@@ -165,6 +165,41 @@ def main():
             f"{float(got_s):.4f} vs {float(want_s):.4f}",
         )
 
+    # --- fused FFN: compiled vs the XLA reference formulation ---
+    from vibertgrid_tpu.ops.fused_ffn import ffn_reference, fused_ffn
+
+    nrows, d, f = 4096, 768, 3072
+    x = jnp.asarray(rng.standard_normal((nrows, d)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(f) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.02, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32)
+    lng = jnp.ones((d,), jnp.float32)
+    lnb = jnp.zeros((d,), jnp.float32)
+    gotf = jax.jit(
+        lambda x: fused_ffn(x, w1, b1, w2, b2, lng, lnb, seed0, 1e-12, 0.0)
+    )(x)
+    wantf = jax.jit(
+        lambda x: ffn_reference(x, w1, b1, w2, b2, lng, lnb, seed0, 1e-12, 0.0)
+    )(x)
+    errf = float(
+        jnp.max(jnp.abs(gotf.astype(jnp.float32) - wantf.astype(jnp.float32)))
+    )
+    check("fused_ffn fwd vs reference", errf < 3e-2, f"max err {errf:.2e}")
+    gff = jax.jit(
+        jax.grad(
+            lambda x: jnp.sum(
+                fused_ffn(
+                    x, w1, b1, w2, b2, lng, lnb, seed, 1e-12, 0.1
+                ).astype(jnp.float32)
+            )
+        )
+    )(x)
+    check(
+        "fused_ffn dropout grad finite",
+        bool(jnp.all(jnp.isfinite(gff.astype(jnp.float32)))),
+    )
+
     # --- flagship entry forward ---
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import entry
