@@ -206,3 +206,33 @@ def test_build_all_threads_mesh_into_model_config():
     _, cfg1, *_ = build_all(hyp, "sroie", spec=synthetic_spec(),
                             mesh=make_mesh(data=1, model=1))
     assert cfg1.mesh is None
+
+
+def test_train_driver_long_corpus_multi_window(tmp_path):
+    """Multi-thousand-token documents (≥4 510-token windows) through the
+    complete driver: collation buckets the window axis, the encoder folds
+    windows into batch, and train + validate run losslessly — the
+    reference's unbounded sliding-window semantics
+    (model/BERTgrid_generator.py:81-146) at full pipeline scope."""
+    from vibertgrid_tpu.data.dataset import KIEDataset, WINDOW
+    from vibertgrid_tpu.train.driver import build_tokenizer
+
+    root = str(tmp_path / "data")
+    make_synthetic_root(
+        root, n_train=2, n_test=2, seed=1,
+        words_range=(40, 60), segs_range=(8, 12),
+    )
+    hyp = tiny_hyp(root)
+    hyp["batch_size"] = 2
+    hyp["end_epoch"] = 1
+    hyp["save_top"] = str(tmp_path / "weights")
+    hyp["save_log"] = str(tmp_path / "log")
+
+    # the generated corpora really do span >= 4 windows
+    tok = build_tokenizer(hyp)
+    ds = KIEDataset(f"{root}/train", synthetic_spec(), tok, train=True)
+    n_tok = max(len(s.tokens) for s in (ds[i] for i in range(len(ds))))
+    assert n_tok > 4 * WINDOW, n_tok
+
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])

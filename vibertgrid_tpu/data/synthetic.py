@@ -82,8 +82,18 @@ def make_synthetic_root(
     n_test: int = 4,
     n_classes: int = 5,
     seed: int = 0,
+    words_range: tuple = (1, 3),
+    segs_range: tuple = (1, 3),
 ) -> str:
-    """Create train/ and test/ splits under ``path``; returns ``path``."""
+    """Create train/ and test/ splits under ``path``; returns ``path``.
+
+    ``words_range``/``segs_range``: per-segment word count and per-class
+    segment count draws (``rng.integers`` bounds). The defaults give short
+    single-window corpora; e.g. ``words_range=(40, 60), segs_range=(8, 12)``
+    produces multi-thousand-token documents that exercise the unbounded
+    sliding-window path (≥4 510-token windows) end to end — the reference
+    semantics at ``model/BERTgrid_generator.py:81-146``.
+    """
     rng = np.random.default_rng(seed)
     class_names = ["others", "company", "date", "address", "total"][:n_classes]
 
@@ -103,13 +113,13 @@ def make_synthetic_root(
             y = 10
             # one contiguous run per class, classes in random order
             for cls in rng.permutation(n_classes):
-                n_seg = int(rng.integers(1, 3))
+                n_seg = int(rng.integers(*segs_range))
                 texts = []
                 x = int(rng.integers(5, 30))
                 for _ in range(n_seg):
                     words = [
                         str(rng.choice(CLASS_WORDS[int(cls)]))
-                        for _ in range(int(rng.integers(1, 3)))
+                        for _ in range(int(rng.integers(*words_range)))
                     ]
                     text = " ".join(words)
                     texts.append(text)
