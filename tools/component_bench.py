@@ -22,18 +22,12 @@ B, H, W, T, S = 8, 512, 384, 510, 128
 DTYPE = jnp.bfloat16
 
 
-def timed(fn, *args):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+from tools._timing import make_loop, make_timed
+
+timed = make_timed(ITERS)
+loop = make_loop(ITERS)
 
 
-def loop(body):
-    @jax.jit
-    def run(*args):
-        return jax.lax.fori_loop(0, ITERS, lambda i, c: body(c, *args), 0.0)
-    return run
 
 
 def main():

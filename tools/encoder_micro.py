@@ -23,11 +23,9 @@ ITERS = int(os.environ.get("ITERS", "200"))
 B, T, D, H = 8, 512, 768, 12
 
 
-def timed(fn, *args):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+from tools._timing import make_timed
+
+timed = make_timed(ITERS)
 
 
 def main():

@@ -30,19 +30,10 @@ HBM_GBPS = 794e9  # measured v5e HBM roofline (docs/ARCHITECTURE.md)
 MXU_FLOPS = 186.8e12  # measured bf16 matmul peak (tools/mxu_calib.py)
 
 
-def timed(fn, *args):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+from tools._timing import make_loop, make_timed
 
-
-def loop(body):
-    @jax.jit
-    def run(*args):
-        return jax.lax.fori_loop(0, ITERS, lambda i, c: body(c, *args), 0.0)
-
-    return run
+timed = make_timed(ITERS)
+loop = make_loop(ITERS)
 
 
 def cost(fn, *args):

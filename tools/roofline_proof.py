@@ -128,13 +128,9 @@ def main():
             ca = ca[0]
         return ca.get("bytes accessed", 0) / 1e9, ca.get("flops", 0) / 1e9
 
-    def timed(fn, *args):
-        out = fn(*args)
-        float(jax.tree_util.tree_leaves(out)[0])  # sync through the tunnel
-        t0 = time.perf_counter()
-        out = fn(*args)
-        float(jax.tree_util.tree_leaves(out)[0])
-        return (time.perf_counter() - t0) / ITERS * 1e3
+    from tools._timing import make_timed
+
+    timed = make_timed(ITERS)
 
     def report(name, ms, gb, gflop):
         bw = gb / (ms / 1e3)

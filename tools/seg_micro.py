@@ -16,11 +16,9 @@ ITERS = 100
 B, H, W, S, C = 8, 512, 384, 128, 5
 
 
-def timed(fn, *args):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3
+from tools._timing import make_timed
+
+timed = make_timed(ITERS)
 
 
 def main():

@@ -26,11 +26,9 @@ import jax.numpy as jnp
 ITERS = int(os.environ.get("ITERS", "100"))
 
 
-def timed(fn, *args):
-    float(fn(*args))
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return (time.perf_counter() - t0) / ITERS * 1e3  # ms/iter
+from tools._timing import make_timed
+
+timed = make_timed(ITERS)
 
 
 def main():

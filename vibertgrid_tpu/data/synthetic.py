@@ -123,6 +123,8 @@ def make_synthetic_root(
                     ]
                     text = " ".join(words)
                     texts.append(text)
+                    if y > h - 16:  # wrap: keep every box inside the image
+                        y = 10
                     bw = min(6 * len(text) + 8, w - x - 2)
                     bh = 14
                     x0, y0 = x, y

@@ -86,7 +86,10 @@ class TextEncoderConfig:
     # "fused": the fused FFN Pallas kernel (GEMM→gelu→GEMM→dropout→residual→
     # LN in one VMEM-resident program, ops/fused_ffn.py), per data shard
     # under a pure-DP mesh; falls back to the einsum path under TP (the
-    # partial FFN outputs need a psum before residual+LN) and on CPU.
+    # partial FFN outputs need a psum before residual+LN) and when no VMEM-
+    # feasible row tile exists (fp32 BERT-base widths). Off-TPU, forced
+    # "fused" runs interpreted (tests); the train driver rewrites it to
+    # "xla" on multi-device CPU meshes, which need GSPMD partitioning.
     # "auto" currently selects the einsum path (pending the chip A/B).
     ffn_impl: str = "auto"
     # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
@@ -139,9 +142,13 @@ class SelfAttention(nn.Module):
         mesh = cfg.mesh
         n_mesh = 1
         if mesh is not None:
-            n_mesh = mesh.shape.get("data", 1) * mesh.shape.get("model", 1)
-            if n_mesh > 1 and (h % mesh.shape["model"] or b % mesh.shape["data"]):
-                use_flash = False  # indivisible: einsum path (GSPMD handles it)
+            n_mesh = mesh.devices.size
+            dp = mesh.shape.get("data", 1)
+            mp = mesh.shape.get("model", 1)
+            if n_mesh > 1 and (dp * mp != n_mesh or h % mp or b % dp):
+                # non-(data, model) mesh or indivisible head/batch counts:
+                # einsum path (GSPMD partitions it)
+                use_flash = False
         if use_flash:
             # Packed-head fused kernel: consumes the projection outputs
             # [b, t, h·dh] directly, so no head transposes exist at all.
@@ -244,13 +251,15 @@ class EncoderLayer(nn.Module):
         # "fused" opt-in only until the kernel is chip-validated + measured
         # (tools/tpu_smoke.py + an encoder A/B); flip "auto" here if it wins.
         use_fused = cfg.ffn_impl == "fused"
-        if use_fused and multi and (
-            mesh.shape.get("model", 1) > 1 or b % mesh.shape["data"]
-        ):
-            # TP shards the FFN weights on the intermediate dim — the partial
-            # outputs need a psum before residual+LN, the fusion boundary —
-            # and an indivisible batch can't row-shard: einsum path.
-            use_fused = False
+        if use_fused and multi:
+            dp = mesh.shape.get("data", 1)
+            mp = mesh.shape.get("model", 1)
+            if mp > 1 or dp * mp != mesh.devices.size or b % dp:
+                # TP shards the FFN weights on the intermediate dim — the
+                # partial outputs need a psum before residual+LN, the fusion
+                # boundary; non-(data, model) meshes and indivisible batches
+                # can't row-shard: einsum path.
+                use_fused = False
         if use_fused:
             from vibertgrid_tpu.ops.fused_ffn import fused_ffn, fused_ffn_sharded
 

@@ -147,8 +147,12 @@ def _ffn_kernel(
     out_ref[...] = (y * g_ref[...] + bt_ref[...]).astype(out_ref.dtype)
 
 
-def _row_tile(n: int, d: int, f: int, itemsize: int) -> int:
-    """Largest row tile keeping the working set under the VMEM budget.
+def _row_tile(n: int, d: int, f: int, itemsize: int) -> int | None:
+    """Largest row tile keeping the working set under the VMEM budget, capped
+    at the (padded) row count; ``None`` when nothing fits — fp32 BERT-base
+    weight blocks alone are 18.9 MB, over the 16 MB scoped VMEM, and an
+    infeasible tile would die in Mosaic compilation on the real chip (the
+    same failure class the attention kernel's dtype-aware head cap fixes).
 
     Resident per program: W1 + W2 (constant blocks, itemsize), the fp32
     [R, F] intermediate (the dominant per-row term), x/out [R, D], and
@@ -157,10 +161,11 @@ def _row_tile(n: int, d: int, f: int, itemsize: int) -> int:
     budget = 13 * 2**20
     weights = 2 * d * f * itemsize
     per_row = f * 4 + f * itemsize + d * itemsize * 2 + d * 4 * 2
-    for r in (512, 256, 128, 64, 32, 16):
-        if weights + r * per_row <= budget:
+    cap = max(_round_up(n, 8), 8)
+    for r in (512, 256, 128, 64, 32, 16, 8):
+        if r <= cap and weights + r * per_row <= budget:
             return r
-    return 8
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -184,6 +189,13 @@ def _fused_ffn_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate,
     f = w1.shape[1]
     dt = x.dtype
     r = _row_tile(n, d, f, dt.itemsize)
+    if r is None:
+        # No feasible tile (e.g. fp32 compute dtype at BERT-base widths):
+        # run the XLA formulation — the backward uses it regardless, so the
+        # custom VJP stays consistent.
+        out = ffn_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                            rate)
+        return out, (x, w1, b1, w2, b2, ln_scale, ln_bias, seed)
     np_rows = _round_up(n, r)
     xp = jnp.pad(x, ((0, np_rows - n), (0, 0))) if np_rows != n else x
 

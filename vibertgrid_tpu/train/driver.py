@@ -193,14 +193,17 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         data_axis = next(d for d in range(min(avail, batch_size), 0, -1)
                          if batch_size % d == 0)
     mesh = make_mesh(data=data_axis, model=model_axis)
-    if data_axis * model_axis > 1 and hyp.get("attention_impl", "auto") == "auto":
-        if jax.default_backend() != "tpu":
-            # GSPMD cannot partition a pallas_call, and on non-TPU backends
-            # (the virtual CPU mesh used by tests / dryrun_multichip) the
-            # kernel would have to run interpreted: multi-device CPU meshes
-            # keep the einsum path, which GSPMD partitions for free.
+    if data_axis * model_axis > 1 and jax.default_backend() != "tpu":
+        # GSPMD cannot partition a pallas_call, and on non-TPU backends (the
+        # virtual CPU mesh used by tests / dryrun_multichip) the kernels
+        # would have to run interpreted — and with mesh=None below the
+        # encoder can't even shard_map them: multi-device CPU meshes force
+        # the einsum paths, which GSPMD partitions for free.
+        if hyp.get("attention_impl", "auto") != "xla":
             hyp = dict(hyp, attention_impl="xla")
-        # On TPU the mesh threads into the encoder and the fused kernel runs
+        if hyp.get("ffn_impl", "auto") != "xla":
+            hyp = dict(hyp, ffn_impl="xla")
+        # On TPU the mesh threads into the encoder and the fused kernels run
         # per-shard under shard_map (batch on `data`, heads on `model` — the
         # same placement parallel/sharding.py gives the projection outputs);
         # the encoder falls back to einsum itself if head/batch counts don't
