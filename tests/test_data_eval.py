@@ -393,3 +393,65 @@ class TestBucketedEvalLoader:
             assert len(aux.n_segments) == b
             n_real_total += sum(1 for n in aux.n_segments if n > 0)
         assert n_real_total == len(ds)
+
+
+class TestCollatorFuzz:
+    """Randomized mixed-size batches through the collator: every sample
+    round-trips losslessly whatever bucket combination the batch lands in
+    (window count, segment ladder incl. beyond-top extension, image hw)."""
+
+    def _sample(self, rng, n_seg, tok_per_seg, h, w):
+        boxes = np.zeros((n_seg, 4), np.int32)
+        boxes[:, 0] = rng.integers(0, max(w - 30, 1), n_seg)
+        boxes[:, 1] = rng.integers(0, max(h - 18, 1), n_seg)
+        boxes[:, 2] = boxes[:, 0] + rng.integers(4, 28, n_seg)
+        boxes[:, 3] = boxes[:, 1] + rng.integers(4, 16, n_seg)
+        from vibertgrid_tpu.data.dataset import Sample
+
+        return Sample(
+            image=rng.random((h, w, 3)).astype(np.float32),
+            tokens=rng.integers(5, 40, n_seg * tok_per_seg).astype(np.int32),
+            seg_ids=np.repeat(np.arange(n_seg, dtype=np.int32), tok_per_seg),
+            boxes=boxes,
+            seg_classes=rng.integers(0, 5, n_seg).astype(np.int32),
+            texts=[f"t{i}" for i in range(n_seg)],
+        )
+
+    def test_mixed_size_batches_round_trip(self):
+        from vibertgrid_tpu.data.dataset import Collator
+        from vibertgrid_tpu.data.transform import ImageTransform
+
+        rng = np.random.default_rng(123)
+        coll = Collator(ImageTransform([0.5] * 3, [0.25] * 3, [256], 256, 400))
+        for case in range(8):
+            bs = int(rng.integers(1, 5))
+            samples = [
+                self._sample(
+                    rng,
+                    n_seg=int(rng.integers(1, 700)),
+                    tok_per_seg=int(rng.integers(1, 6)),
+                    h=int(rng.integers(80, 320)),
+                    w=int(rng.integers(80, 320)),
+                )
+                for _ in range(bs)
+            ]
+            train = case % 2 == 0
+            batch, aux = coll(samples, train=train, rng=np.random.default_rng(0))
+            assert batch.tokens.shape[1] % 510 == 0
+            for i, s in enumerate(samples):
+                nt, ns = len(s.tokens), len(s.seg_classes)
+                assert int(batch.token_mask[i].sum()) == nt, (case, i)
+                np.testing.assert_array_equal(batch.tokens[i, :nt], s.tokens)
+                np.testing.assert_array_equal(batch.seg_ids[i, :nt], s.seg_ids)
+                assert not batch.token_mask[i, nt:].any()
+                assert int(batch.box_mask[i].sum()) == ns
+                np.testing.assert_array_equal(
+                    batch.seg_classes[i, :ns], s.seg_classes
+                )
+                assert not batch.box_mask[i, ns:].any()
+                # boxes stay inside the padded image canvas
+                bx = np.asarray(batch.boxes[i, :ns])
+                assert (bx[:, 0] <= bx[:, 2]).all() and (bx[:, 1] <= bx[:, 3]).all()
+                assert bx.min() >= 0
+                assert bx[:, 2].max() <= batch.images.shape[2]
+                assert bx[:, 3].max() <= batch.images.shape[1]
