@@ -106,13 +106,16 @@ void pad_batch_f32(const float* src, int h, int w, int c, float* dst, int bh,
   }
 }
 
-// Fused resize + per-channel normalize: o = (bilinear(src) - mean) / std.
-// Saves three full numpy passes (subtract, divide, astype) per sample in
-// the collation hot loop. Same taps as bilinear_resize_f32; oh==h && ow==w
-// degenerates to a pure normalize copy.
-void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
-                              float* dst, int oh, int ow, const float* mean,
-                              const float* std_) {
+// Fused resize + per-channel normalize: o = (bilinear(src) - mean) / std,
+// written into a row-strided destination (dst_row_elems floats between row
+// starts). Lets collation resize each sample DIRECTLY into its slot of the
+// padded batch canvas -- the former pad_batch_f32 copy (a full extra
+// write+read of the canvas) disappears from the hot loop. Same taps as
+// bilinear_resize_f32; oh==h && ow==w degenerates to a pure normalize copy.
+void bilinear_resize_norm_strided_f32(const float* src, int h, int w, int c,
+                                      float* dst, int oh, int ow,
+                                      long dst_row_elems, const float* mean,
+                                      const float* std_) {
   float inv_std_local[16];
   float* inv_std = inv_std_local;
   float* heap = nullptr;
@@ -123,11 +126,14 @@ void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
   for (int k = 0; k < c; ++k) inv_std[k] = 1.0f / std_[k];
 
   if (oh == h && ow == w) {
-    const size_t n = static_cast<size_t>(h) * w;
-    for (size_t p = 0; p < n; ++p) {
-      const float* s = src + p * c;
-      float* o = dst + p * c;
-      for (int k = 0; k < c; ++k) o[k] = (s[k] - mean[k]) * inv_std[k];
+    for (int i = 0; i < h; ++i) {
+      const float* srow = src + static_cast<size_t>(i) * w * c;
+      float* orow = dst + static_cast<size_t>(i) * dst_row_elems;
+      for (int j = 0; j < w; ++j) {
+        const float* s = srow + static_cast<size_t>(j) * c;
+        float* o = orow + static_cast<size_t>(j) * c;
+        for (int k = 0; k < c; ++k) o[k] = (s[k] - mean[k]) * inv_std[k];
+      }
     }
     delete[] heap;
     return;
@@ -154,7 +160,7 @@ void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
     const float fy = static_cast<float>(srcy - ylo);
     const float* top_row = src + static_cast<size_t>(ylo) * w * c;
     const float* bot_row = src + static_cast<size_t>(yhi) * w * c;
-    float* out_row = dst + static_cast<size_t>(i) * ow * c;
+    float* out_row = dst + static_cast<size_t>(i) * dst_row_elems;
     for (int j = 0; j < ow; ++j) {
       const float fx = xf[j];
       const float* tl = top_row + static_cast<size_t>(xlo[j]) * c;
@@ -173,6 +179,13 @@ void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
   delete[] xhi;
   delete[] xf;
   delete[] heap;
+}
+
+void bilinear_resize_norm_f32(const float* src, int h, int w, int c,
+                              float* dst, int oh, int ow, const float* mean,
+                              const float* std_) {
+  bilinear_resize_norm_strided_f32(src, h, w, c, dst, oh, ow,
+                                   static_cast<long>(ow) * c, mean, std_);
 }
 
 }  // extern "C"

@@ -455,3 +455,34 @@ class TestCollatorFuzz:
                 assert bx.min() >= 0
                 assert bx[:, 2].max() <= batch.images.shape[2]
                 assert bx[:, 3].max() <= batch.images.shape[1]
+
+
+def test_dataset_fast_batched_encode_matches_slow(tmp_path):
+    """KIEDataset's one-batched-encode-per-document fast path produces the
+    identical Sample (tokens/seg_ids/boxes/classes/texts) as the reference
+    per-segment tokenize+convert path."""
+    from vibertgrid_tpu.data import KIEDataset
+    from vibertgrid_tpu.data.synthetic import make_synthetic_root, write_vocab
+    from vibertgrid_tpu.train.driver import build_tokenizer
+
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=2)
+    vocab = write_vocab(str(tmp_path))
+    spec = synthetic_spec()
+    hyp = {"tokenizer_path": vocab, "bert_version": "bert-base-uncased"}
+    ds_fast = KIEDataset(
+        f"{root}/train", spec, build_tokenizer(hyp), train=True
+    )
+    ds_slow = KIEDataset(
+        f"{root}/train", spec,
+        build_tokenizer(dict(hyp, fast_tokenizer=False)), train=True,
+    )
+    assert getattr(ds_fast.tokenizer, "is_fast", False)
+    assert not getattr(ds_slow.tokenizer, "is_fast", False)
+    for i in range(len(ds_fast)):
+        a, b = ds_fast[i], ds_slow[i]
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        np.testing.assert_array_equal(a.seg_ids, b.seg_ids)
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+        np.testing.assert_array_equal(a.seg_classes, b.seg_classes)
+        assert a.texts == b.texts

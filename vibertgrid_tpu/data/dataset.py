@@ -108,21 +108,41 @@ class KIEDataset:
             os.path.join(self.root, spec.label_dir, name + ".csv")
         )
 
+        kept_rows = []
+        to_encode: list[str] = []
+        for row in rows:
+            text = str(row["text"])
+            if text == "" or text.isspace():
+                continue
+            kept_rows.append((row, text))
+            to_encode.append(text.lower() if spec.lowercase else text)
+
+        # One batched encode per document: a fast (Rust) tokenizer encodes
+        # all segments in a single GIL-releasing call — per-segment
+        # ``tokenize()`` was the host pipeline's serial bottleneck
+        # (~80% of __getitem__, tools/loader_bench.py). Identical ids to
+        # the per-segment path (``tests/test_data_eval.py`` parity test).
+        if getattr(self.tokenizer, "is_fast", False) and to_encode:
+            ids_lists = self.tokenizer(
+                to_encode, add_special_tokens=False
+            )["input_ids"]
+        else:
+            ids_lists = [
+                self.tokenizer.convert_tokens_to_ids(
+                    self.tokenizer.tokenize(t)
+                )
+                for t in to_encode
+            ]
+
         tokens: list[int] = []
         seg_ids: list[int] = []
         boxes: list[list[int]] = []
         classes: list[int] = []
         texts: list[str] = []
         seg_out = 0
-        for row in rows:
-            text = str(row["text"])
-            if text == "" or text.isspace():
+        for (row, text), ids in zip(kept_rows, ids_lists):
+            if not ids:
                 continue
-            t = text.lower() if spec.lowercase else text
-            wordpieces = self.tokenizer.tokenize(t)
-            if not wordpieces:
-                continue
-            ids = self.tokenizer.convert_tokens_to_ids(wordpieces)
             tokens.extend(ids)
             seg_ids.extend([seg_out] * len(ids))
             boxes.append(
@@ -201,20 +221,28 @@ class Collator:
         samples: list[Sample],
         train: bool,
         rng: np.random.Generator | None = None,
+        pool=None,
     ):
+        """``pool``: optional executor (the loader's worker pool) — the
+        per-sample resize+normalize is the collation hot loop and the
+        native op releases the GIL, so it parallelises across the batch."""
         from vibertgrid_tpu.models.vibertgrid import Batch
 
         b = len(samples)
-        images, boxes_list, hws = [], [], []
-        # One random min-size per batch (one bucket per batch; the reference
-        # draws per image, pipeline/transform.py:192-196 — same distribution).
+        # Per-image random min-size, drawn serially (same rng call sequence
+        # as the former per-sample transform loop — the reference draws per
+        # image too, pipeline/transform.py:192-196).
         if train and rng is None:
             rng = np.random.default_rng(0)
-        for s in samples:
-            img, bx, hw = self.transform(s.image, s.boxes, train, rng)
-            images.append(img)
-            boxes_list.append(bx)
-            hws.append(hw)
+        tr = self.transform
+        min_sizes = [
+            tr.draw_min_size(rng) if train else float(tr.test_min_size)
+            for _ in samples
+        ]
+        hws = [
+            tr._output_shape(s.image.shape[0], s.image.shape[1], ms)
+            for s, ms in zip(samples, min_sizes)
+        ]
 
         max_h = max(h for h, _ in hws)
         max_w = max(w for _, w in hws)
@@ -222,8 +250,23 @@ class Collator:
         image_arr = np.zeros((b, bh, bw, 3), np.float32)
         from vibertgrid_tpu.data import native
 
-        for i, img in enumerate(images):
-            native.pad_into(img, image_arr[i])
+        mean = np.asarray(tr.image_mean, np.float32)
+        std = np.asarray(tr.image_std, np.float32)
+
+        def _resize_sample(i: int):
+            s = samples[i]
+            oh, ow = hws[i]
+            # resize+normalize straight into this sample's canvas slot —
+            # no intermediate image, no pad copy
+            native.bilinear_resize_norm_into(
+                s.image, image_arr[i], oh, ow, mean, std
+            )
+            return tr.rescale_boxes(s.boxes, s.image.shape[:2], (oh, ow))
+
+        if pool is not None and b > 1:
+            boxes_list = list(pool.map(_resize_sample, range(b)))
+        else:
+            boxes_list = [_resize_sample(i) for i in range(b)]
 
         n_seg = max(max((len(s.seg_classes) for s in samples), default=1), 1)
         s_cap = bucket_count(n_seg, self.seg_buckets)
@@ -314,7 +357,7 @@ def data_loader(
                 samples = list(pool.map(dataset.__getitem__, idx))
             else:
                 samples = [dataset[j] for j in idx]
-            yield collator(samples, train, rng)
+            yield collator(samples, train, rng, pool=pool)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)

@@ -53,6 +53,7 @@ def _load():
                 blob = f.read()
             required = (
                 b"bilinear_resize_norm_f32",
+                b"bilinear_resize_norm_strided_f32",
                 b"bilinear_resize_f32",
                 b"rasterize_winner_i32",
                 b"pad_batch_f32",
@@ -69,6 +70,9 @@ def _load():
         lib.bilinear_resize_f32.argtypes = [f32p, c, c, c, f32p, c, c]
         lib.bilinear_resize_norm_f32.argtypes = [
             f32p, c, c, c, f32p, c, c, f32p, f32p
+        ]
+        lib.bilinear_resize_norm_strided_f32.argtypes = [
+            f32p, c, c, c, f32p, c, c, ctypes.c_long, f32p, f32p
         ]
         lib.rasterize_winner_i32.argtypes = [i32p, u8p, c, i32p, c, c, c]
         lib.pad_batch_f32.argtypes = [f32p, c, c, c, f32p, c, c, c]
@@ -146,6 +150,37 @@ def rasterize_winner(
     out = np.empty((h, w), np.int32)
     lib.rasterize_winner_i32(boxes, mask, len(boxes), out, h, w, stride)
     return out
+
+
+def bilinear_resize_norm_into(
+    image: np.ndarray,
+    dst: np.ndarray,
+    out_h: int,
+    out_w: int,
+    mean: np.ndarray,
+    std: np.ndarray,
+) -> None:
+    """Fused resize + normalize written DIRECTLY into the top-left
+    ``[out_h, out_w]`` region of a (pre-zeroed, contiguous) padded canvas
+    ``dst [bh, bw, c]`` — collation's pad copy (a full extra canvas
+    write+read per sample) disappears. Releases the GIL (ctypes), so the
+    loader's thread pool parallelises it across the batch."""
+    lib = _load() if _enabled else None
+    if lib is None:
+        out = bilinear_resize(image, out_h, out_w)
+        dst[:out_h, :out_w] = (
+            (out - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32)
+        ).astype(np.float32)
+        return
+    src = np.ascontiguousarray(image, np.float32)
+    h, w, c = src.shape
+    assert dst.flags["C_CONTIGUOUS"] and dst.shape[2] == c
+    lib.bilinear_resize_norm_strided_f32(
+        src, h, w, c, dst, out_h, out_w, dst.shape[1] * c,
+        np.ascontiguousarray(mean, np.float32),
+        np.ascontiguousarray(std, np.float32),
+    )
 
 
 def pad_into(image: np.ndarray, dst: np.ndarray) -> None:

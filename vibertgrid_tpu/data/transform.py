@@ -72,11 +72,7 @@ class ImageTransform:
         """image [H,W,3] float32 in [0,1]; boxes [S,4] int. Returns
         (resized+normalized image, rescaled int boxes, (h, w))."""
         h, w = image.shape[:2]
-        if train:
-            assert rng is not None
-            min_size = float(rng.choice(list(self.train_min_size)))
-        else:
-            min_size = float(self.test_min_size)
+        min_size = self.draw_min_size(rng) if train else float(self.test_min_size)
         out_h, out_w = self._output_shape(h, w, min_size)
 
         from vibertgrid_tpu.data import native
@@ -86,15 +82,31 @@ class ImageTransform:
             np.asarray(self.image_mean, np.float32),
             np.asarray(self.image_std, np.float32),
         )
+        return resized, self.rescale_boxes(boxes, (h, w), (out_h, out_w)), (
+            out_h,
+            out_w,
+        )
 
-        if len(boxes):
-            b = boxes.astype(np.float64).copy()
-            b[:, [0, 2]] *= out_w / w
-            b[:, [1, 3]] *= out_h / h
-            boxes = b.astype(np.int32)
-        else:
-            boxes = np.zeros((0, 4), np.int32)
-        return resized, boxes, (out_h, out_w)
+    def draw_min_size(self, rng: np.random.Generator) -> float:
+        """One per-image random short-edge target (the reference draws per
+        image too, ``pipeline/transform.py:192-196``)."""
+        assert rng is not None
+        return float(rng.choice(list(self.train_min_size)))
+
+    @staticmethod
+    def rescale_boxes(
+        boxes: np.ndarray, hw: tuple[int, int], ohw: tuple[int, int]
+    ) -> np.ndarray:
+        """Scale boxes from an (h, w) image onto its (oh, ow) resize.
+        Correct-axis form of the reference's rescale (see module docstring
+        on the deliberate axis-swap divergence)."""
+        if not len(boxes):
+            return np.zeros((0, 4), np.int32)
+        (h, w), (out_h, out_w) = hw, ohw
+        b = boxes.astype(np.float64).copy()
+        b[:, [0, 2]] *= out_w / w
+        b[:, [1, 3]] *= out_h / h
+        return b.astype(np.int32)
 
     def _output_shape(self, h: int, w: int, min_size: float) -> tuple[int, int]:
         scale = min_size / min(h, w)
