@@ -18,7 +18,8 @@ _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libhost_ops.so"))
 
 _lib = None
-_enabled = True
+# VIBERTGRID_NATIVE=0 forces the numpy fallbacks (debugging / bisection)
+_enabled = os.environ.get("VIBERTGRID_NATIVE", "1") != "0"
 _tried = False
 
 

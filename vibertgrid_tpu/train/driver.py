@@ -405,7 +405,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         if max_steps and steps_done >= max_steps:
             break
 
-    logger.flush()
+    logger.close()  # the TB writer owns a background thread; don't leak it
     results["best_F1"] = best_f1
     results["final_state"] = state
     return results

@@ -71,6 +71,16 @@ class MetricsLogger:
         if self._jsonl is not None:
             self._jsonl.flush()
 
+    def close(self):
+        """Shut the writer down (the TB EventFileWriter owns a background
+        thread — without close() every training run leaks one)."""
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+
 
 def setup_seed(seed: int = 42) -> None:
     import numpy as np
