@@ -222,7 +222,12 @@ def test_full_inference_forward_matches_stitched_oracle():
         fuse = late_fusion_oracle(
             rois, seg_emb, p["late_fusion"], st["late_fusion"]
         )
-        logits = linear(fuse, p["field_type_head"]["category_net"]["out"])
+        # the simplified head is ALWAYS the two-layer MLP (preserved
+        # reference "sigle" typo, field_type_classification_head.py:474)
+        hidden = torch.relu(
+            linear(fuse, p["field_type_head"]["category_net"]["hidden"])
+        )
+        logits = linear(hidden, p["field_type_head"]["category_net"]["out"])
         probs = F.softmax(logits, dim=-1).numpy()
 
     np.testing.assert_allclose(ours[0], probs, rtol=2e-3, atol=2e-4)

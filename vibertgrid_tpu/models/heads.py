@@ -195,11 +195,20 @@ class SimplifiedFieldTypeClassification(nn.Module):
         compute_loss: bool = True,
         key: jax.Array | None = None,
     ):
+        # Preserved reference quirk: the simplified head compares layer_mode
+        # against the TYPO "sigle" (field_type_classification_head.py:474),
+        # and "sigle" itself fails the validity assert (:466-469) — so the
+        # reference ALWAYS builds the two-layer MLP here, including under the
+        # shipped configs' layer_mode: "single" (example_config.yaml:71) that
+        # produced the published F1 rows. Architecture is metric-affecting:
+        # reproduce it. (The full and CRF heads honor "single" correctly in
+        # the reference and here.)
+        mode = "multi"
         pos_neg_logits = MLPClassifier(
-            2, self.layer_mode, self.dtype, name="pos_neg_net"
+            2, mode, self.dtype, name="pos_neg_net"
         )(fuse_embeddings)
         class_logits = MLPClassifier(
-            self.num_classes, self.layer_mode, self.dtype, name="category_net"
+            self.num_classes, mode, self.dtype, name="category_net"
         )(fuse_embeddings)
         class_pred = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
 
