@@ -21,3 +21,6 @@ from vibertgrid_tpu.models.seg_head import (  # noqa: F401
     SimplifiedSemanticSegmentationHead,
 )
 from vibertgrid_tpu.models.vibertgrid import ViBERTgridNet, ModelConfig  # noqa: F401
+from vibertgrid_tpu.models.convert_reference import (  # noqa: F401
+    load_reference_checkpoint,
+)
