@@ -296,3 +296,33 @@ def test_crf_transitions_copy_exactly(reference_net_factory):
         np.asarray(out["params"]["field_type_head"]["transitions"]),
         want.detach().numpy(),
     )
+
+
+def test_backbone_d_variant_matches_reference(reference_net_factory):
+    """resnet_18_D_fpn: the AvgPool-shortcut (D) blocks map by index shift."""
+    from vibertgrid_tpu.models.convert_reference import (
+        load_reference_checkpoint,
+    )
+    from vibertgrid_tpu.models.resnet_fpn import BACKBONE_REGISTRY, ResNetFPN
+
+    net = reference_net_factory("simp", backbone="resnet_18_D_fpn")
+    _, variables = _our_variables("simp", backbone="resnet_18_D_fpn")
+    out = load_reference_checkpoint(variables, net.state_dict())
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    grid = rng.standard_normal((1, 8, 8, 768)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = net.backbone(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(grid.transpose(0, 3, 1, 2)),
+        ).numpy().transpose(0, 2, 3, 1)
+    bk = ResNetFPN(dtype=jnp.float32, **BACKBONE_REGISTRY["resnet_18_D_fpn"])
+    got = bk.apply(
+        {
+            "params": out["params"]["backbone"],
+            "batch_stats": out["batch_stats"]["backbone"],
+        },
+        jnp.asarray(img), jnp.asarray(grid), False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)

@@ -50,13 +50,12 @@ conv OIHW→HWIO, linear ``[out,in]``→``[in,out]``):
   ``crf_layer.transitions`` copies directly (identical ``[to, from]``
   layout and START/STOP placement, ``ops/crf.py``).
 
-Scope: the six-entry backbone registry's plain ``resnet_18/34_fpn``
-topologies (the published rows' ``*_pretrained`` variants share torchvision
-trunk names — convert those with
-``models.resnet_fpn.load_torchvision_resnet`` conventions — and the ``_D``
-variants' AvgPool shortcuts are not mapped yet; both raise with a clear
-message). ``num_batches_tracked`` counters have no equivalent and are
-dropped.
+Scope: the from-scratch ``resnet_18/34_fpn`` and ``resnet_18/34_D_fpn``
+registry entries (the D-variant's ``Sequential(AvgPool, conv, bn)``
+shortcut maps by index shift). The ``*_pretrained`` variants embed the
+torchvision module layout (``backbone.resnet.*``) and raise with a pointer
+to ``models.resnet_fpn.load_torchvision_resnet``.
+``num_batches_tracked`` counters have no equivalent and are dropped.
 """
 
 from __future__ import annotations
@@ -103,11 +102,11 @@ def load_reference_checkpoint(variables: dict, state_dict: dict) -> dict:
         for k, v in state_dict.items()
     }
 
-    if any(".conv_shortcut.2." in k or "downsample" in k for k in sd):
+    if any(k.startswith("backbone.resnet.") for k in sd):
         raise ValueError(
-            "D-variant / torchvision-pretrained backbones are not mapped "
-            "yet; use models.resnet_fpn.load_torchvision_resnet for the "
-            "*_pretrained trunks"
+            "torchvision-pretrained trunk checkpoints use the torchvision "
+            "module layout; load them with "
+            "models.resnet_fpn.load_torchvision_resnet conventions"
         )
 
     import jax
@@ -162,7 +161,13 @@ def load_reference_checkpoint(variables: dict, state_dict: dict) -> dict:
         conv_bn(f"{src}.conv_1", f"{src}.bn_1", dst, "conv1", "bn1")
         conv_bn(f"{src}.conv_2", f"{src}.bn_2", dst, "conv2", "bn2")
         if f"{src}.conv_shortcut.0.weight" in sd:
+            # plain BasicBlock: Sequential(conv, bn)
             conv_bn(f"{src}.conv_shortcut.0", f"{src}.conv_shortcut.1", dst,
+                    "shortcut_conv", "shortcut_bn")
+        elif f"{src}.conv_shortcut.1.weight" in sd:
+            # D-variant: Sequential(AvgPool, conv, bn)
+            # (ResNetFPN_ViBERTgrid.py:213-231; ours matches the topology)
+            conv_bn(f"{src}.conv_shortcut.1", f"{src}.conv_shortcut.2", dst,
                     "shortcut_conv", "shortcut_bn")
 
     def stage_indices(prefix):
