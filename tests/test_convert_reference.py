@@ -326,3 +326,37 @@ def test_backbone_d_variant_matches_reference(reference_net_factory):
         jnp.asarray(img), jnp.asarray(grid), False,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+
+def test_driver_reference_weights_splice(reference_net_factory, tmp_path):
+    """The driver/CLI `reference_weights:` path: a saved reference .pt
+    converts into a TrainState via load_pretrained_into_state."""
+    import optax
+
+    from __graft_entry__ import _make_batch
+    from vibertgrid_tpu.train.driver import load_pretrained_into_state
+    from vibertgrid_tpu.train.state import create_train_state
+
+    net = reference_net_factory("simp")
+    path = tmp_path / "reference_ckpt.pt"
+    torch.save({"model": net.state_dict()}, str(path))
+
+    from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
+    from vibertgrid_tpu.models.bert import TextEncoderConfig
+
+    cfg = ModelConfig(
+        num_classes=5, bert_version="bert-base-uncased",
+        backbone="resnet_34_fpn", classifier_mode="simp",
+        text_config=TextEncoderConfig(vocab_size=512, num_layers=2),
+    )
+    model = ViBERTgridNet(cfg)
+    batch = _make_batch(b=1, h=64, w=64, t=510, s=8, vocab=512)
+    state = create_train_state(model, optax.sgd(1e-3), batch, seed=0)
+    before = np.asarray(state.params["backbone"]["stem_conv"]["kernel"])
+    state2 = load_pretrained_into_state(
+        state, {"reference_weights": str(path)}, cfg
+    )
+    after = np.asarray(state2.params["backbone"]["stem_conv"]["kernel"])
+    assert not np.array_equal(before, after)
+    want = net.state_dict()["backbone.conv_1.0.weight"].numpy()
+    np.testing.assert_allclose(after, want.transpose(2, 3, 1, 0), atol=0)

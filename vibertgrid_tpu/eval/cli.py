@@ -38,7 +38,11 @@ def evaluate(hyp: dict, dataset: str, spec=None, state=None) -> dict:
 
     if state is None:
         weights = hyp.get("weights", "")
-        assert weights, "weights must be provided (eval_SROIE.py:333-340)"
+        ref_weights = hyp.get("reference_weights", "")
+        assert weights or ref_weights, (
+            "weights (or reference_weights for a ViBERTgrid-PyTorch "
+            "checkpoint) must be provided (eval_SROIE.py:333-340)"
+        )
         optimizer = (
             make_optimizer(hyp, 1, 1)
             if "optimizer_cnn_hyp" in hyp
@@ -48,8 +52,22 @@ def evaluate(hyp: dict, dataset: str, spec=None, state=None) -> dict:
             iter(data_loader(test_ds, collator, batch_size=1, train=False))
         )
         state = create_train_state(model, optimizer, sample_batch, seed=0)
-        ckpt = CheckpointManager(os.path.dirname(weights) or ".")
-        state, _ = ckpt.restore(weights, state)
+        if ref_weights:
+            # migration path: evaluate a reference-trained torch checkpoint
+            from vibertgrid_tpu.models import load_reference_checkpoint
+            from vibertgrid_tpu.train.driver import _load_torch_state_dict
+
+            variables = load_reference_checkpoint(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                _load_torch_state_dict(ref_weights),
+            )
+            state = state.replace(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+            )
+        else:
+            ckpt = CheckpointManager(os.path.dirname(weights) or ".")
+            state, _ = ckpt.restore(weights, state)
 
     eval_step = make_eval_step(model)
     # Default bs-1 mirrors the reference eval scripts exactly; any larger

@@ -80,7 +80,23 @@ class InferenceEngine:
             )
             batch, _ = self.collator([sample], train=False)
             self.state = create_train_state(self.model, optimizer, batch, seed=0)
-            if weights:
+            if hyp.get("reference_weights"):
+                # serve a reference-trained (ViBERTgrid-PyTorch) checkpoint
+                from vibertgrid_tpu.models import load_reference_checkpoint
+                from vibertgrid_tpu.train.driver import _load_torch_state_dict
+
+                variables = load_reference_checkpoint(
+                    {
+                        "params": self.state.params,
+                        "batch_stats": self.state.batch_stats,
+                    },
+                    _load_torch_state_dict(hyp["reference_weights"]),
+                )
+                self.state = self.state.replace(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"],
+                )
+            elif weights:
                 ckpt = CheckpointManager(
                     weights if not weights.startswith("/") else "/tmp/ckpt_unused"
                 )

@@ -134,9 +134,23 @@ def _load_torch_state_dict(path: str) -> dict:
 
 
 def load_pretrained_into_state(state, hyp: dict, cfg):
-    """Splice local HF BERT / torchvision ResNet weights into a TrainState."""
+    """Splice local HF BERT / torchvision ResNet weights into a TrainState.
+
+    ``reference_weights``: a trained ViBERTgrid-PyTorch checkpoint (.pt/.pth
+    — the full model ``state_dict``); converts every component via
+    ``models.load_reference_checkpoint`` (migration path for reference
+    users)."""
     params = state.params
     batch_stats = state.batch_stats
+    if hyp.get("reference_weights"):
+        from vibertgrid_tpu.models import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(
+            {"params": params, "batch_stats": batch_stats},
+            _load_torch_state_dict(hyp["reference_weights"]),
+        )
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        print("==> loaded reference (ViBERTgrid-PyTorch) checkpoint")
     if hyp.get("bert_weights"):
         from vibertgrid_tpu.models.bert import load_hf_weights
 
@@ -271,7 +285,13 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     # Pretrained ingestion from LOCAL checkpoints (no hub):
     # - bert_weights: HF torch state dict (.bin / .safetensors / .pt)
     # - backbone_weights: torchvision resnet state dict (.pth)
-    if hyp.get("bert_weights") or hyp.get("backbone_weights"):
+    # - reference_weights: a trained ViBERTgrid-PyTorch model state_dict
+    #   (full migration, models.load_reference_checkpoint)
+    if (
+        hyp.get("bert_weights")
+        or hyp.get("backbone_weights")
+        or hyp.get("reference_weights")
+    ):
         state = load_pretrained_into_state(state, hyp, cfg)
 
     ckpt = CheckpointManager(
