@@ -12,9 +12,20 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives run one thread per virtual device and ABORT the whole
+# process (FATAL -> SIGABRT) when a rendezvous takes >40s (default
+# terminate timeout). On this ONE-core sandbox 8 device threads genuinely
+# can starve that long under load — this was the "silent SIGABRT at the
+# first fetch of the heaviest train-step graph" Heisenbug (2026-08-18,
+# rendezvous.cc check failure; pytest captures the FATAL log, hence
+# "silent"). Raise warn/terminate far beyond worst-case starvation.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
