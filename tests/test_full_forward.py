@@ -190,8 +190,15 @@ def test_full_inference_forward_matches_stitched_oracle():
     # ---- stitched oracle ----
     tokens = np.asarray(batch.tokens)[0]
     token_mask = np.asarray(batch.token_mask)[0]
-    ids = np.concatenate([[101], tokens, [102]])[None]
-    amask = np.concatenate([[1], token_mask, [1]])[None]
+    # Reference framing: [SEP] immediately after the corpus slice (width =
+    # batch-max valid length here), NOT at the window end
+    # (BERTgrid_generator.py:106-129) — matches ops/windows.frame_windows
+    # with seq_len.
+    n_valid = int(token_mask.sum())
+    ids = np.concatenate([[101], tokens, [0]])[None].copy()
+    amask = np.concatenate([[1], token_mask, [0]])[None].copy()
+    ids[0, 1 + n_valid] = 102
+    amask[0, 1 + n_valid] = 1
     with torch.no_grad():
         tok_emb = hf(
             input_ids=torch.from_numpy(ids).long(),

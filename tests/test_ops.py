@@ -141,6 +141,37 @@ class TestWindows:
         back = unframe_windows(jnp.asarray(emb), batch_size=b)
         np.testing.assert_array_equal(np.asarray(back)[..., 0].astype(np.int32), tokens)
 
+    def test_reference_sep_placement(self):
+        """With ``seq_len``, [SEP] sits at 1 + the window's slice width —
+        the reference's [CLS] slice [SEP] pads framing
+        (BERTgrid_generator.py:106-129), whose position tracks the
+        batch-max corpus length, not the bucketed padding."""
+        b, w = 2, 2
+        t = w * 510
+        tokens = RNG.integers(1, 30000, (b, t)).astype(np.int32)
+        mask = np.zeros((b, t), np.int32)
+        mask[0, :700] = 1  # batch max L = 700
+        mask[1, :300] = 1
+        ids, m = frame_windows(
+            jnp.asarray(tokens), jnp.asarray(mask),
+            seq_len=jnp.asarray(700, jnp.int32),
+        )
+        ids, m = np.asarray(ids), np.asarray(m)
+        assert ids.shape == (b * w, 512)
+        # full first windows: SEP at the end (width 510)
+        for row in (0, 2):
+            assert ids[row, 0] == 101 and ids[row, 511] == 102
+            assert m[row, 511] == 1
+        # second windows: width = 700 - 510 = 190 -> SEP at 191, tail PAD
+        for row in (1, 3):
+            assert ids[row, 191] == 102 and m[row, 191] == 1
+            assert ids[row, 511] == 0 and m[row, 511] == 0
+        # sample 1's window-2 payload positions are all mask 0 except SEP
+        assert m[3, 1:191].sum() == 0
+        # valid payload tokens/mask pass through untouched
+        np.testing.assert_array_equal(ids[0, 1:511], tokens[0, :510])
+        np.testing.assert_array_equal(m[1, 1:191], mask[0, 510:700])
+
 
 class TestRoiAlign:
     def _run(self, hf, wf, c, rois_img, **kw):

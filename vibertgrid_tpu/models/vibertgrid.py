@@ -223,11 +223,16 @@ class ViBERTgridNet(nn.Module):
 
         # --- BERT embedding over folded windows (ops/windows.py) ---
         text_cfg = cfg.resolved_text_config()
+        # seq_len = the batch-max valid token count — the width the
+        # reference's pad_sequence corpus would have, which pins where each
+        # window's [SEP] lands (BERTgrid_generator.py:106-129; the final
+        # window is [CLS] slice [SEP] pads, NOT SEP-at-end).
         ids, amask = frame_windows(
             batch.tokens,
             batch.token_mask,
             cls_id=cfg.cls_token_id,
             sep_id=cfg.sep_token_id,
+            seq_len=jnp.max(jnp.sum(batch.token_mask.astype(jnp.int32), 1)),
         )
         tok_emb = TextEncoder(text_cfg, dtype, name="bert_model")(
             ids, amask, deterministic=not train

@@ -30,13 +30,24 @@ def frame_windows(
     cls_id: int = 101,
     sep_id: int = 102,
     payload: int = PAYLOAD,
+    seq_len: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fold ``[B, W*payload]`` token streams into ``[B*W, payload+2]`` windows.
 
-    Each window is framed ``[CLS] chunk [SEP]`` with attention mask 1 on the
-    frame tokens (the reference gives [CLS]/[SEP] mask 1 even in all-padding
-    windows, reproduced here). Default ids are the BERT WordPiece ones the
-    reference hardcodes; the model passes the tokenizer's real ids.
+    Each window is framed ``[CLS] chunk [SEP]``. The reference places [SEP]
+    immediately after the window's SLICE of the padded batch corpus
+    (``[CLS] + corpus[:, s:e] + [SEP] + pads``, BERTgrid_generator.py:106-129),
+    so in the final (partially filled) window [SEP] sits at ``1 + width``,
+    not at the end — and since [SEP] carries attention mask 1, its position
+    embedding shifts every token's output. ``seq_len`` (the batch-max valid
+    token count, the width ``pad_sequence`` would give the reference's
+    corpus) reproduces that placement exactly; ``None`` keeps the
+    SEP-at-end framing (used only where parity is not at stake).
+
+    [CLS] has mask 1 even in all-padding overflow windows (the reference
+    never creates those — they contribute no aggregated tokens either way).
+    Default ids are the BERT WordPiece ones the reference hardcodes; the
+    model passes the tokenizer's real ids.
     """
     b, t = tokens.shape
     assert t % payload == 0, f"token length {t} not a multiple of {payload}"
@@ -44,8 +55,26 @@ def frame_windows(
     chunks = tokens.reshape(b * w, payload).astype(jnp.int32)
     mchunks = token_mask.reshape(b * w, payload).astype(jnp.int32)
     ones = jnp.ones((b * w, 1), jnp.int32)
-    ids = jnp.concatenate([ones * cls_id, chunks, ones * sep_id], axis=1)
-    mask = jnp.concatenate([ones, mchunks, ones], axis=1)
+    if seq_len is None:
+        ids = jnp.concatenate([ones * cls_id, chunks, ones * sep_id], axis=1)
+        mask = jnp.concatenate([ones, mchunks, ones], axis=1)
+        return ids, mask
+    # Window w's slice width = clip(seq_len - w*payload, 0, payload);
+    # [SEP] goes at 1 + width (a traced position — one-hot where, no gather).
+    widths = jnp.clip(
+        seq_len.astype(jnp.int32)
+        - jnp.tile(jnp.arange(w, dtype=jnp.int32), b) * payload,
+        0,
+        payload,
+    )  # [B*W]
+    sep_pos = (1 + widths)[:, None]  # [B*W, 1]
+    zeros = jnp.zeros((b * w, 1), jnp.int32)
+    ids = jnp.concatenate([ones * cls_id, chunks, zeros], axis=1)
+    mask = jnp.concatenate([ones, mchunks, zeros], axis=1)
+    pos = jnp.arange(payload + 2, dtype=jnp.int32)[None, :]
+    at_sep = pos == sep_pos
+    ids = jnp.where(at_sep, sep_id, ids)
+    mask = jnp.where(at_sep, 1, mask)
     return ids, mask
 
 
