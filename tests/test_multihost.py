@@ -92,6 +92,159 @@ WORKER = textwrap.dedent(
 ).replace("__REPO__", REPO)
 
 
+TRAIN_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # one device per process -> the 2-process global mesh has data=2
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=1"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "__REPO__/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    sys.path.insert(0, "__REPO__")
+    import numpy as np
+    from tests.test_multihost import _tiny_train_setup
+    from vibertgrid_tpu.parallel import make_mesh, replicate, shard_batch
+
+    model, optimizer, state, global_batch, train_step = _tiny_train_setup()
+    mesh = make_mesh(data=2, model=1)   # spans both processes
+    state = replicate(state, mesh)
+    local = jax.tree_util.tree_map(
+        lambda x: np.asarray(x)[pid : pid + 1], global_batch
+    )
+    batch = shard_batch(local, mesh)    # global [2, ...] assembled from shards
+    losses = []
+    for _ in range(2):
+        state, loss = train_step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    fp = float(
+        sum(
+            jax.numpy.sum(jax.numpy.abs(x.astype(jax.numpy.float32)))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+    print(f"RESULT{losses[0]:.6f},{losses[1]:.6f},{fp:.4f}")
+    """
+).replace("__REPO__", REPO)
+
+
+def _tiny_train_setup():
+    """Tiny model + deterministic 2-doc batch + jitted train step, shared by
+    the 2-process workers and the single-process reference run."""
+    import jax
+
+    from __graft_entry__ import _make_batch
+    from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
+    from vibertgrid_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        num_classes=5,
+        bert_version="tiny-bert-test",
+        backbone="resnet_18_fpn",
+        classifier_mode="simp",
+        num_hard_positive_main_1=2,
+        num_hard_negative_main_1=2,
+        num_hard_positive_main_2=2,
+        num_hard_negative_main_2=2,
+        loss_aux_sample_list=[16, 32, 16],
+        num_hard_positive_aux=8,
+        num_hard_negative_aux=8,
+        ohem_random=False,  # no per-device RNG: keeps 2-proc == 1-proc exact
+        attention_impl="xla",
+    )
+    model = ViBERTgridNet(cfg)
+    hyp = {
+        "optimizer_cnn_hyp": dict(
+            learning_rate=1e-3, min_learning_rate=1e-5, warm_up_epoches=0,
+            warm_up_init_lr=1e-5, momentum=0.9, weight_decay=5e-4,
+            min_weight_decay=5e-4,
+        ),
+        "optimizer_bert_hyp": dict(
+            learning_rate=1e-4, min_learning_rate=1e-7, warm_up_epoches=0,
+            warm_up_init_lr=1e-7, beta1=0.9, beta2=0.999, epsilon=1e-8,
+            weight_decay=0.01, min_weight_decay=0.01,
+        ),
+        "optimizer_state_dtype": "float32",
+    }
+    optimizer = make_optimizer(hyp, num_epochs=2, niter_per_ep=4)
+    batch = _make_batch(b=2, h=64, w=64, t=510, s=8, vocab=512)
+    state = create_train_state(model, optimizer, batch, seed=0)
+    return model, optimizer, state, batch, make_train_step(model, optimizer)
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """The multi-host train path end-to-end (ADVICE r2 medium): two REAL
+    processes assemble a global batch from per-process shards via
+    ``shard_batch`` (make_array_from_process_local_data), run the jitted
+    collective train step twice, and must reproduce the single-process run
+    on the same global batch — losses and a parameter-sum fingerprint.
+    DDP-equivalence: gradient averaging over the global batch
+    (train_SROIE.py:206-210) and SyncBN stats (202-203) both follow from
+    the batch being sharded over ``data`` inside one jit program.
+    """
+    port = _free_port()
+    script = tmp_path / "train_worker.py"
+    script.write_text(TRAIN_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    # single-process reference on the full global batch, data=2 submesh so
+    # GSPMD reduction shapes match the 2-process program exactly
+    import jax
+
+    from vibertgrid_tpu.parallel import make_mesh, replicate, shard_batch
+
+    model, optimizer, state, batch, train_step = _tiny_train_setup()
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    ref_losses = []
+    for _ in range(2):
+        state, loss = train_step(state, sbatch, jax.random.PRNGKey(0))
+        ref_losses.append(float(loss))
+    ref_fp = float(
+        sum(
+            jax.numpy.sum(jax.numpy.abs(x.astype(jax.numpy.float32)))
+            for x in jax.tree_util.tree_leaves(state.params)
+        )
+    )
+
+    for o in outs:
+        line = [ln for ln in o.splitlines() if ln.startswith("RESULT")][0]
+        l0, l1, fp = (float(v) for v in line[len("RESULT"):].split(","))
+        assert l0 == pytest.approx(ref_losses[0], rel=2e-4)
+        assert l1 == pytest.approx(ref_losses[1], rel=2e-4)
+        assert fp == pytest.approx(ref_fp, rel=2e-4)
+
+
 def test_two_process_shards_match_global_metrics(tmp_path):
     port = _free_port()
     script = tmp_path / "worker.py"

@@ -341,6 +341,12 @@ def data_loader(
     order = order[rank::world]
     if drop_last is None:
         drop_last = train
+    if world > 1 and drop_last:
+        # Equalize shard lengths across processes: the jitted multi-host
+        # train step is a collective program, so EVERY process must take the
+        # same number of steps per epoch or the ranks deadlock (the
+        # DistributedSampler drop_last contract, data/SROIE_dataset.py:327).
+        order = order[: len(dataset) // world]
     end = (len(order) // batch_size) * batch_size if drop_last else len(order)
 
     pool = None

@@ -45,16 +45,73 @@ def make_mesh(
 _warned_replicate: set = set()
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices this process cannot address
+    (multi-host SPMD: every process holds only its local slice of data)."""
+    return any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
+
+
+def local_mesh(mesh: Mesh) -> Mesh:
+    """This process's slice of a multi-host mesh (same axis names).
+
+    Evaluation runs process-locally (each process scores its loader shard,
+    then the harness all-gathers the metric objects — the reference's
+    ``all_gather_object`` pattern, train_val_utils.py:544-552), so eval
+    batches are placed on a local mesh while training uses the global one.
+    The ``model`` axis is preserved when the local device count allows it.
+    """
+    if not _spans_processes(mesh):
+        return mesh
+    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+    model = mesh.shape["model"]
+    if len(local) % model:
+        model = 1
+    arr = np.asarray(local).reshape(len(local) // model, model)
+    return Mesh(arr, ("data", "model"))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a batch pytree with its leading dim sharded over ``data``.
 
-    Batches whose leading dim is not divisible by the data axis (e.g. the
-    batch-size-1 eval loop, eval_SROIE.py:103-105) are replicated instead —
-    the jitted step works under either placement, but every device then
-    computes the full batch redundantly, so a warning is emitted once per
-    (batch size, mesh) shape.
+    Multi-host meshes (``jax.process_count() > 1`` with the mesh spanning
+    processes): each process passes its PER-PROCESS loader shard (the
+    ``data_loader(shard=(rank, world))`` output) and the global batch is
+    assembled with ``jax.make_array_from_process_local_data`` — the
+    DistributedSampler + DDP scatter equivalent (data/SROIE_dataset.py:314-319).
+    The global batch dim is ``local_batch * process_count``.
+
+    Single-host batches whose leading dim is not divisible by the data axis
+    (e.g. the batch-size-1 eval loop, eval_SROIE.py:103-105) are replicated
+    instead — the jitted step works under either placement, but every device
+    then computes the full batch redundantly, so a warning is emitted once
+    per (batch size, mesh) shape.
     """
     n_data = mesh.shape["data"]
+    if _spans_processes(mesh):
+        n_local_data = max(
+            sum(
+                1
+                for d in mesh.devices[:, 0].flat
+                if d.process_index == jax.process_index()
+            ),
+            1,
+        )
+
+        def put_global(x):
+            x = np.asarray(x)
+            if x.shape[0] % n_local_data:
+                raise ValueError(
+                    f"multi-host batch dim {x.shape[0]} must divide the "
+                    f"process-local data axis ({n_local_data}); pad the "
+                    "batch — host-local data cannot be replicated across "
+                    "processes holding different shards"
+                )
+            sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            return jax.make_array_from_process_local_data(sharding, x)
+
+        return jax.tree_util.tree_map(put_global, batch)
 
     def put(x):
         if x.shape[0] % n_data == 0:
@@ -79,8 +136,20 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh.
+
+    On multi-host meshes the host value (identical on every process — model
+    init is seeded) becomes a fully-replicated global array via
+    ``make_array_from_process_local_data`` (``device_put`` cannot target
+    non-addressable devices)."""
     sharding = NamedSharding(mesh, P())
+    if _spans_processes(mesh):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

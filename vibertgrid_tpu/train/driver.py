@@ -256,7 +256,14 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         transform.image_mean = m.tolist()
         transform.image_std = s.tolist()
 
-    niter_per_ep = max(len(train_ds) // batch_size, 1)
+    # The train loader shards the dataset across processes
+    # (shard=proc_shard), so each process takes len(ds)//world//batch_size
+    # steps per epoch — size the per-iteration lr/wd schedule arrays from
+    # THAT, not the global count (the DistributedSampler length semantics,
+    # data/SROIE_dataset.py:314-319). batch_size is PER PROCESS; the global
+    # batch is batch_size * process_count.
+    world = jax.process_count()
+    niter_per_ep = max(len(train_ds) // world // batch_size, 1)
     optimizer, schedules = make_optimizer(
         hyp, end_epoch, niter_per_ep, return_schedules=True
     )
@@ -310,8 +317,29 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         # Bucketed batched eval (bs-1 available via eval_batch_size: 1):
         # groups test docs by collation signature so each jitted signature
         # serves many documents and host syncs amortize per batch.
+        #
+        # Multi-host: eval is PROCESS-LOCAL (per-process bucket compositions
+        # differ, so a global jit is impossible) — each process scores its
+        # loader shard on its local mesh slice against its own replica of
+        # the (fully replicated) params, and the harness all-gathers the
+        # metric objects (the reference's all_gather_object pattern,
+        # train_val_utils.py:544-552).
+        eval_mesh, eval_state = mesh, state
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            from vibertgrid_tpu.parallel.mesh import local_mesh
+
+            eval_mesh = local_mesh(mesh)
+            eval_state = state.replace(opt_state=())  # may be ZeRO-1 sharded
+            eval_state = multihost_utils.global_array_to_host_local_array(
+                eval_state,
+                mesh,
+                jax.tree_util.tree_map(lambda _: P(), eval_state),
+            )
         loader = (
-            (shard_batch(b, mesh), aux)
+            (shard_batch(b, eval_mesh), aux)
             for b, aux in bucketed_eval_loader(
                 test_ds,
                 collator,
@@ -322,7 +350,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         )
         return validate(
             eval_step,
-            state,
+            eval_state,
             loader,
             spec,
             eval_mode=eval_mode,
