@@ -53,14 +53,19 @@ _LOG_FMT = "pred_key: [{pred_key}] gt_key: [{gt_key}] status: {status}"
 def strcmp_compare(
     pred_keys: list[str], key_dict: dict, class_list, result_filter=None
 ):
-    """Exact-string scoring of one document (train_val_utils.py:495-518).
+    """Exact-string scoring of one document.
 
-    Returns ``(recall_acc, precision_acc, n_gt, n_det, log)`` where ``log``
-    is the per-class status dict the reference puts in its per-sample JSON
-    report (``eval_SROIE.py:186-211, 231-237``).
+    Returns ``(recall_acc, precision_acc, n_gt, n_det, log, report_correct)``.
+    The aggregate counters follow ``validate``'s protocol
+    (train_val_utils.py:495-518: a class contributes only when its gt is
+    non-empty), while ``report_correct`` and the ``log`` status follow the
+    eval CLI's per-sample report (eval_SROIE.py:192-237: ``pred == gt``
+    counts CORRECT even when both are empty) — the two diverge exactly on
+    empty-gt classes, and the reference uses each in its own place.
     """
     recall_acc = precision_acc = 0.0
     n_det = n_gt = 0.0
+    report_correct = 0.0
     log = {}
     for ci in range(1, len(class_list)):
         pred = pred_keys[ci]
@@ -71,17 +76,18 @@ def strcmp_compare(
         gt = key_dict.get(class_list[ci], "")
         if len(pred):
             n_det += 1
-        correct = False
+        correct = pred == gt  # report semantics (eval_SROIE.py:201)
+        if correct:
+            report_correct += 1
         if len(gt):
             n_gt += 1
-            if pred == gt:
+            if correct:
                 recall_acc += 1
                 precision_acc += 1
-                correct = True
         log[class_list[ci]] = _LOG_FMT.format(
             pred_key=pred, gt_key=gt, status="CORRECT" if correct else "ERROR"
         )
-    return recall_acc, precision_acc, n_gt, n_det, log
+    return recall_acc, precision_acc, n_gt, n_det, log, report_correct
 
 
 def validate(
@@ -158,17 +164,18 @@ def validate(
                     score_thresh=strcmp_thresh,
                 )
                 key_dict = aux.key_dicts[i] or {}
-                r, p, g, d, log = strcmp_compare(
+                r, p, g, d, log, rep = strcmp_compare(
                     pred_keys, key_dict, class_list, result_filter
                 )
                 recall_sum += r
                 precision_sum += p
                 num_gt += g
                 num_det += d
-                # per-sample metrics, reference report shape
-                # (eval_SROIE.py:231-237)
-                s_prec = 0.0 if d == 0 else p / d
-                s_rec = 1.0 if num_classes - 1 == 0 else r / (num_classes - 1)
+                # per-sample metrics, reference report shape + semantics
+                # (eval_SROIE.py:212-237): the report counts pred==gt even
+                # for empty-gt classes, unlike the aggregate counters above.
+                s_prec = 0.0 if d == 0 else rep / d
+                s_rec = 1.0 if num_classes - 1 == 0 else rep / (num_classes - 1)
                 s_hmean = (
                     0.0
                     if s_prec + s_rec == 0
@@ -178,7 +185,7 @@ def validate(
                     "precision": s_prec,
                     "recall": s_rec,
                     "hmean": s_hmean,
-                    "correct": r,
+                    "correct": rep,
                     "log": log,
                     "pred": pred_keys,
                 }
