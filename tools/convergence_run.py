@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n-train", type=int, default=32)
     ap.add_argument("--n-test", type=int, default=8)
+    ap.add_argument(
+        "--optimizer-state-dtype", default=None,
+        choices=["bfloat16", "float32"],
+        help="override optimizer-state storage (the fp32-vs-bf16 "
+             "convergence A/B, ADVICE r2 #4)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -121,6 +127,9 @@ def main():
             classifier_mode="simp",
             tag_mode="B",
         )
+
+    if args.optimizer_state_dtype:
+        hyp["optimizer_state_dtype"] = args.optimizer_state_dtype
 
     results = train(hyp, "sroie", spec=synthetic_spec())
     scalars = {
