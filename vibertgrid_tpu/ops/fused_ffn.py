@@ -20,7 +20,9 @@ registers between the two dots: HBM sees x once in, the normalized output
 once out, and the weights once per call.
 
 Numerics: both dots accumulate fp32 (``preferred_element_type``); gelu is
-the exact (erf) form computed in fp32; LayerNorm uses fp32 E[x²]−E[x]²
+the exact (erf) form computed in fp32 via the same rational polynomial XLA
+lowers f32 erf to (Mosaic has no erf primitive — see ``_erf_f32``);
+LayerNorm uses fp32 E[x²]−E[x]²
 statistics exactly like ``models/norm.LayerNorm``. Dropout is the same
 counter-based splitmix32 hash of (seed, global flat index) as
 :mod:`vibertgrid_tpu.ops.dropout` — bit-identical keep decisions to
@@ -57,9 +59,37 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _erf_f32(x):
+    """fp32 erf as the x·P(x²)/Q(x²) rational minimax XLA itself emits
+    (Eigen's ``generic_fast_erf_float``; max |err| vs ``jax.lax.erf`` ≈
+    6e-7, measured over [-8, 8]).
+
+    Mosaic has no ``erf`` lowering (``NotImplementedError: Unimplemented
+    primitive ... erf``, hit compiled-on-chip 2026-08-19 — interpret mode
+    accepted it, exactly the failure class tools/tpu_smoke.py exists for),
+    so the kernel needs an in-kernel formulation; using the same
+    polynomial in :func:`ffn_reference` keeps the kernel, the backward
+    rematerialisation, and the interpret-mode tests bit-identical.
+    """
+    x = jnp.clip(x, -3.832506856900711, 3.832506856900711)
+    z = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    for c in (2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04,
+              -2.95459980854025e-03, -1.60960333262415e-02):
+        a = a * z + jnp.float32(c)
+    a = a * x
+    b = jnp.float32(-1.45660718464996e-05)
+    for c in (-2.13374055278905e-04, -1.68282697438203e-03,
+              -7.37332916720468e-03, -1.42647390514189e-02):
+        b = b * z + jnp.float32(c)
+    return a / b
+
+
 def _gelu_exact_f32(x):
     # jax.nn.gelu(approximate=False) in fp32: 0.5 x (1 + erf(x / sqrt(2)))
-    return 0.5 * x * (1.0 + jax.lax.erf(x * np.float32(1.0 / np.sqrt(2.0))))
+    # with erf via the Mosaic-lowerable polynomial (see _erf_f32).
+    return 0.5 * x * (1.0 + _erf_f32(x * np.float32(1.0 / np.sqrt(2.0))))
 
 
 def ffn_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate):
