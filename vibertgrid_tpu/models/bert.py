@@ -90,7 +90,10 @@ class TextEncoderConfig:
     # feasible row tile exists (fp32 BERT-base widths). Off-TPU, forced
     # "fused" runs interpreted (tests); the train driver rewrites it to
     # "xla" on multi-device CPU meshes, which need GSPMD partitioning.
-    # "auto" currently selects the einsum path (pending the chip A/B).
+    # "auto": the kernel for deterministic (inference/eval) passes on real
+    # TPU — measured −26% encoder forward (tools/ffn_micro.py) — and the
+    # einsum path for training, whose fwd+bwd is faster in XLA (the kernel's
+    # VJP rematerialises the forward; see EncoderLayer).
     ffn_impl: str = "auto"
     # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
     # None (or a 1-device mesh) selects the plain single-device kernel.
@@ -248,9 +251,18 @@ class EncoderLayer(nn.Module):
         mesh = cfg.mesh
         b, t, _ = hidden.shape
         multi = mesh is not None and mesh.devices.size > 1
-        # "fused" opt-in only until the kernel is chip-validated + measured
-        # (tools/tpu_smoke.py + an encoder A/B); flip "auto" here if it wins.
-        use_fused = cfg.ffn_impl == "fused"
+        # Chip A/B (tools/ffn_micro.py, v5e, bs16×512, 2026-08-19): fused
+        # encoder fwd 10.6 vs 14.3 ms (−26%), but fwd+bwd 48.9 vs 46.5 ms —
+        # the custom VJP rematerialises the forward in XLA, so backward pays
+        # an extra FFN pass. "auto" therefore selects the kernel exactly for
+        # deterministic (inference/eval) passes on real TPU and keeps the
+        # einsum path for training; "fused" forces it everywhere (tests run
+        # it interpreted off-TPU).
+        use_fused = cfg.ffn_impl == "fused" or (
+            cfg.ffn_impl == "auto"
+            and deterministic
+            and jax.default_backend() == "tpu"
+        )
         if use_fused and multi:
             dp = mesh.shape.get("data", 1)
             mp = mesh.shape.get("model", 1)
