@@ -102,6 +102,14 @@ TRAIN_WORKER = textwrap.dedent(
         + " --xla_force_host_platform_device_count=1"
         + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
         + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        # Single-threaded thunk execution: XLA:CPU's thunk executor runs
+        # INDEPENDENT collectives concurrently, and the gloo TCP transport
+        # matches messages per-pair in FIFO order — two ranks issuing e.g.
+        # a SyncBN all-reduce (128 B) and an OHEM count all-reduce (4 B)
+        # in opposite orders desynchronize the stream and abort with
+        # "op.preamble.length <= op.nbytes. 128 vs 4" (observed 2026-08-19).
+        # One thread => deterministic topological issue order on every rank.
+        + " --xla_cpu_multi_thread_eigen=false"
     ).strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -123,9 +131,18 @@ TRAIN_WORKER = textwrap.dedent(
         lambda x: np.asarray(x)[pid : pid + 1], global_batch
     )
     batch = shard_batch(local, mesh)    # global [2, ...] assembled from shards
+    # Compile BEFORE the first collective executes, then rendezvous at a
+    # coordination-service barrier: gloo's context init has a hard 30 s
+    # KV-store timeout, and on the one-core sandbox a compile-time skew
+    # between the two workers under load exceeds it (observed 2026-08-19:
+    # "Gloo context initialization failed: GetKeyValue() timed out").
+    key = jax.random.PRNGKey(0)
+    compiled = train_step.lower(state, batch, key).compile()
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("train_compiled", 600_000)
     losses = []
     for _ in range(2):
-        state, loss = train_step(state, batch, jax.random.PRNGKey(0))
+        state, loss = compiled(state, batch, key)
         losses.append(float(loss))
     fp = float(
         sum(
@@ -213,8 +230,14 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         for i in range(2)
     ]
     outs = [p.communicate(timeout=900)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-3000:]
+    if any(p.returncode != 0 for p in procs):
+        # A rank dying mid-collective makes its PEER fail too ("connection
+        # reset by peer") — always show both tails or the root cause is lost.
+        joined = "\n".join(
+            f"==== rank {i} rc={p.returncode} ====\n{o[-3000:]}"
+            for i, (p, o) in enumerate(zip(procs, outs))
+        )
+        raise AssertionError(joined)
 
     # single-process reference on the full global batch, data=2 submesh so
     # GSPMD reduction shapes match the 2-process program exactly

@@ -17,10 +17,17 @@ Configs mirror the reference's published rows (BASELINE.md):
                      classifiers, ref field_type_classification_head.py:193-407)
                      with the full (non-simplified) aux seg head.
 
-Measured (v5e, 32 synthetic train docs): see README "Convergence" —
-rows are requalified whenever the model identity changes (the always-MLP
-simp-head quirk e88eef0 required lr warmup: without it the val loss
-explodes to ~400 and the head collapses, measured 2026-08-19).
+Measured (v5e, 32 synthetic train docs): see README "Convergence".
+Recipe (recalibrated 2026-08-19 after the tunnel re-established to a new
+chip environment): cnn SGD lr 1e-3 + 3-epoch warmup, bert AdamW 2e-4.
+The earlier lr 5e-3 / no-warmup recipe was knife-edge — it converged in
+the pre-outage environment but collapses in the current one (val loss
+explodes to ~400, majority-class plateau), REGARDLESS of code version:
+the exact known-good commit cc9c548 reproduces the collapse on identical
+data and seed (logs/requalify/r3_control_cc9c548.log), while lr 1e-3 +
+warmup trains to F1 0.99+ (r3_probe_lowlr.log). See convergence_bisect.py
+for the attribution matrix ([SEP] placement, always-MLP head, host
+pipeline, optimizer-state dtype: all ruled out).
 
 Usage: python tools/convergence_run.py --config roberta [--epochs 20]
 """
@@ -96,16 +103,16 @@ def main():
         "weights": "",
         "save_top": os.path.join(tmp, "weights"),
         "save_log": os.path.join(tmp, "log"),
-        # Post-quirk calibration (matches tests/test_learnability.py): the
-        # always-MLP simp head needs lr warmup — with warm_up_epoches=0 the
-        # val loss explodes (~400) and training collapses to majority-class.
+        # Stable recipe (2026-08-19 recalibration — see module docstring):
+        # cnn lr 1e-3 + 3-epoch warmup. lr 5e-3 w/o warmup is knife-edge
+        # (collapses in the current chip environment at ANY code version).
         "optimizer_cnn_hyp": dict(
-            learning_rate=5e-3, min_learning_rate=1e-5, warm_up_epoches=3,
+            learning_rate=1e-3, min_learning_rate=1e-5, warm_up_epoches=3,
             warm_up_init_lr=1e-5, momentum=0.9, weight_decay=5e-4,
             min_weight_decay=5e-4,
         ),
         "optimizer_bert_hyp": dict(
-            learning_rate=5e-4, min_learning_rate=1e-7, warm_up_epoches=3,
+            learning_rate=2e-4, min_learning_rate=1e-7, warm_up_epoches=3,
             warm_up_init_lr=1e-7, beta1=0.9, beta2=0.999, epsilon=1e-8,
             weight_decay=0.01, min_weight_decay=0.01,
         ),
