@@ -15,8 +15,8 @@ ITERS = int(os.environ.get("ITERS", "100"))
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     from __graft_entry__ import _make_batch
     from vibertgrid_tpu.models import ModelConfig, ViBERTgridNet
 

@@ -31,8 +31,8 @@ def report(name, fn, *args):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig
     from vibertgrid_tpu.models.resnet_fpn import BACKBONE_REGISTRY, ResNetFPN
     from vibertgrid_tpu.models.seg_head import SimplifiedSemanticSegmentationHead

@@ -25,8 +25,8 @@ EVAL_BS = int(os.environ.get("EVAL_BS", "8"))
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
 
     from vibertgrid_tpu.data import KIEDataset
     from vibertgrid_tpu.data.dataset import bucketed_eval_loader, data_loader

@@ -40,8 +40,8 @@ DTYPE = jnp.bfloat16
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     from vibertgrid_tpu.ops import fused_ffn as ff
 
     timed = make_timed(ITERS)

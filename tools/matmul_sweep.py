@@ -48,8 +48,8 @@ def rate(m, k, n, dtype=jnp.bfloat16, acc=None):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     for shape in [
         (4096, 768, 3072),
         (4096, 3072, 768),

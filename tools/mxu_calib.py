@@ -14,8 +14,8 @@ import numpy as np
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     rng = np.random.default_rng(0)
 
     for iters in (10, 40, 160):

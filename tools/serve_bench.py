@@ -28,8 +28,8 @@ import jax
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     from vibertgrid_tpu.data.synthetic import make_test_tokenizer
     from vibertgrid_tpu.serve.engine import InferenceEngine
 
