@@ -207,3 +207,121 @@ def test_fused_ffn_sharded_dropout_decorrelated():
     out = np.asarray(out).reshape(4, 8, 64)
     assert not np.allclose(out[0], out[1])
     assert not np.allclose(out[1], out[2])
+
+
+# ---------------------------------------------------------------------------
+# Fused attention epilogue (fused_proj_ln)
+# ---------------------------------------------------------------------------
+
+from vibertgrid_tpu.ops.fused_ffn import (  # noqa: E402
+    fused_proj_ln,
+    fused_proj_ln_sharded,
+    proj_ln_reference,
+)
+
+
+def _proj_params(d=64):
+    w = jnp.asarray(RNG.standard_normal((d, d)) * 0.1, jnp.float32)
+    b = jnp.asarray(RNG.standard_normal(d) * 0.1, jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * RNG.standard_normal(d), jnp.float32)
+    bt = jnp.asarray(0.1 * RNG.standard_normal(d), jnp.float32)
+    return w, b, g, bt
+
+
+def _proj_flax_oracle(ctx, res, w, b, g, bt):
+    """The einsum-path epilogue: out Dense -> residual -> LayerNorm."""
+    import flax.linen as nn
+
+    from vibertgrid_tpu.models.norm import LayerNorm
+
+    class Tail(nn.Module):
+        @nn.compact
+        def __call__(self, ctx, res):
+            out = nn.Dense(w.shape[1], name="o")(ctx)
+            return LayerNorm(epsilon=EPS, name="ln")(res + out)
+
+    variables = {
+        "params": {
+            "o": {"kernel": w, "bias": b},
+            "ln": {"scale": g, "bias": bt},
+        }
+    }
+    return Tail().apply(variables, ctx, res)
+
+
+def test_fused_proj_ln_forward_matches_flax_oracle():
+    w, b, g, bt = _proj_params()
+    ctx = jnp.asarray(RNG.standard_normal((24, 64)), jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((24, 64)), jnp.float32)
+    got = fused_proj_ln(ctx, res, w, b, g, bt, SEED0, EPS, 0.0, True)
+    want = _proj_flax_oracle(ctx, res, w, b, g, bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_fused_proj_ln_nonmultiple_rows_pad_path():
+    w, b, g, bt = _proj_params()
+    ctx = jnp.asarray(RNG.standard_normal((13, 64)), jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((13, 64)), jnp.float32)
+    got = fused_proj_ln(ctx, res, w, b, g, bt, SEED0, EPS, 0.0, True)
+    want = proj_ln_reference(ctx, res, w, b, g, bt, SEED0, EPS, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_fused_proj_ln_grads_match_reference():
+    w, b, g, bt = _proj_params()
+    ctx = jnp.asarray(RNG.standard_normal((16, 64)), jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((16, 64)), jnp.float32)
+
+    def loss_k(ctx, res, w, b, g, bt):
+        return jnp.sum(
+            jnp.sin(fused_proj_ln(ctx, res, w, b, g, bt, SEED0, EPS, 0.0, True))
+        )
+
+    def loss_r(ctx, res, w, b, g, bt):
+        return jnp.sum(
+            jnp.sin(proj_ln_reference(ctx, res, w, b, g, bt, SEED0, EPS, 0.0))
+        )
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(ctx, res, w, b, g, bt)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(ctx, res, w, b, g, bt)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-5)
+
+
+def test_fused_proj_ln_dropout_pattern_matches_reference():
+    w, b, g, bt = _proj_params()
+    ctx = jnp.asarray(RNG.standard_normal((8, 64)), jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((8, 64)), jnp.float32)
+    seed = jnp.asarray(77, jnp.int32)
+    got = fused_proj_ln(ctx, res, w, b, g, bt, seed, EPS, 0.4, True)
+    want = proj_ln_reference(ctx, res, w, b, g, bt, seed, EPS, 0.4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_fused_proj_ln_sharded_matches_single_device():
+    w, b, g, bt = _proj_params()
+    ctx = jnp.asarray(RNG.standard_normal((16, 64)), jnp.float32)
+    res = jnp.asarray(RNG.standard_normal((16, 64)), jnp.float32)
+    mesh = _mesh(4, 1)
+    got = fused_proj_ln_sharded(
+        ctx, res, w, b, g, bt, SEED0, EPS, 0.0, True, mesh=mesh
+    )
+    want = proj_ln_reference(ctx, res, w, b, g, bt, SEED0, EPS, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    # replicated-weight grads psum over shards
+    def loss_s(w):
+        return jnp.sum(
+            fused_proj_ln_sharded(
+                ctx, res, w, b, g, bt, SEED0, EPS, 0.0, True, mesh=mesh
+            )
+        )
+
+    def loss_1(w):
+        return jnp.sum(proj_ln_reference(ctx, res, w, b, g, bt, SEED0, EPS, 0.0))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_s)(w)),
+        np.asarray(jax.grad(loss_1)(w)),
+        atol=1e-5,
+    )

@@ -35,8 +35,8 @@ loop = make_loop(ITERS)
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig
     from vibertgrid_tpu.ops.fused_ffn import ffn_reference, fused_ffn
 
@@ -82,8 +82,15 @@ def main():
         {"params": key, "dropout": key}, ids, am
     )
 
-    for name in ("xla", "fused"):
-        enc = TextEncoder(dataclasses.replace(base, ffn_impl=name), DTYPE)
+    # EPILOGUE A/B: xla = einsum everywhere; fused-ffn = FFN kernel only
+    # (attn epilogue einsum); fused = FFN kernel + fused_proj_ln epilogue.
+    variants = (
+        ("xla", dict(ffn_impl="xla")),
+        ("fused-ffn", dict(ffn_impl="fused", attn_epilogue="xla")),
+        ("fused", dict(ffn_impl="fused")),
+    )
+    for name, over in variants:
+        enc = TextEncoder(dataclasses.replace(base, **over), DTYPE)
 
         def e_fwd(c, v):
             out = enc.apply(v, ids + (c > 1e30).astype(jnp.int32), am)

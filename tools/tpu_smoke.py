@@ -35,8 +35,8 @@ def main():
     assert jax.default_backend() == "tpu", (
         f"needs a TPU backend, got {jax.default_backend()}"
     )
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from vibertgrid_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     rng = np.random.default_rng(0)
 
     # --- flash attention: compiled vs einsum oracle, odd T, masked bias ---
@@ -198,6 +198,36 @@ def main():
     check(
         "fused_ffn dropout grad finite",
         bool(jnp.all(jnp.isfinite(gff.astype(jnp.float32)))),
+    )
+
+    # --- fused attention epilogue: compiled vs the XLA reference ---
+    from vibertgrid_tpu.ops.fused_ffn import fused_proj_ln, proj_ln_reference
+
+    wo = jnp.asarray(rng.standard_normal((d, d)) * 0.02, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((nrows, d)) * 0.5, jnp.bfloat16)
+    gotp = jax.jit(
+        lambda x, r: fused_proj_ln(x, r, wo, bo, lng, lnb, seed0, 1e-12, 0.0)
+    )(x, res)
+    wantp = jax.jit(
+        lambda x, r: proj_ln_reference(x, r, wo, bo, lng, lnb, seed0, 1e-12, 0.0)
+    )(x, res)
+    errp = float(
+        jnp.max(jnp.abs(gotp.astype(jnp.float32) - wantp.astype(jnp.float32)))
+    )
+    check("fused_proj_ln fwd vs reference", errp < 3e-2, f"max err {errp:.2e}")
+    gpp = jax.jit(
+        jax.grad(
+            lambda x: jnp.sum(
+                fused_proj_ln(
+                    x, res, wo, bo, lng, lnb, seed, 1e-12, 0.1
+                ).astype(jnp.float32)
+            )
+        )
+    )(x)
+    check(
+        "fused_proj_ln dropout grad finite",
+        bool(jnp.all(jnp.isfinite(gpp.astype(jnp.float32)))),
     )
 
     # --- flagship entry forward ---

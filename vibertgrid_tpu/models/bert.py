@@ -95,6 +95,12 @@ class TextEncoderConfig:
     # einsum path for training, whose fwd+bwd is faster in XLA (the kernel's
     # VJP rematerialises the forward; see EncoderLayer).
     ffn_impl: str = "auto"
+    # Attention epilogue (out-projection→dropout→residual→LN) kernel gate,
+    # A/B-able independently of the FFN tail: "fused" runs fused_proj_ln
+    # wherever the FFN gate allows kernels at all, "xla" keeps the einsum
+    # epilogue, "auto" follows the measured default (tools/ffn_micro.py
+    # EPILOGUE A/B — see EncoderLayer comment).
+    attn_epilogue: str = "auto"
     # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
     # None (or a 1-device mesh) selects the plain single-device kernel.
     mesh: Any = None
@@ -127,6 +133,13 @@ class TextEncoderConfig:
 class SelfAttention(nn.Module):
     config: TextEncoderConfig
     dtype: Any = jnp.float32
+    # When True, skip the out-projection Dense and return
+    # (ctx [b,t,d], w_out, b_out) so the caller can run the fused
+    # projection→dropout→residual→LayerNorm epilogue (ops/fused_ffn.py::
+    # fused_proj_ln). The params are created here under the SAME
+    # "out/{kernel,bias}" names nn.Dense would use, so checkpoints and HF
+    # loading see one tree regardless of the epilogue impl.
+    return_ctx: bool = False
 
     @nn.compact
     def __call__(self, hidden, attn_bias, deterministic=True):
@@ -197,6 +210,9 @@ class SelfAttention(nn.Module):
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3)
             ctx = ctx.reshape(b, t, d)
+        if self.return_ctx:
+            w_out, b_out = _DenseParams(d, name="out")(d)
+            return ctx, w_out, b_out
         out = nn.Dense(d, dtype=self.dtype, name="out")(ctx)
         return out
 
@@ -237,27 +253,18 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, hidden, attn_bias, deterministic=True):
         cfg = self.config
-        attn = SelfAttention(cfg, self.dtype, name="attention")(
-            hidden, attn_bias, deterministic
-        )
-        attn = HashDropout(cfg.hidden_dropout)(attn, deterministic=deterministic)
-        hidden = LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="attention_ln"
-        )(hidden + attn)
-
-        # FFN tail. "auto": the fused Pallas kernel on TPU whenever the model
-        # axis is unsharded (under TP the partial FFN outputs need a psum
-        # before residual+LN — the fusion boundary; see ops/fused_ffn.py).
         mesh = cfg.mesh
-        b, t, _ = hidden.shape
+        b, t, d = hidden.shape
         multi = mesh is not None and mesh.devices.size > 1
+        # Fused-epilogue gate, shared by the attention epilogue
+        # (fused_proj_ln) and the FFN tail (fused_ffn).
         # Chip A/B (tools/ffn_micro.py, v5e, bs16×512, 2026-08-19): fused
         # encoder fwd 10.6 vs 14.3 ms (−26%), but fwd+bwd 48.9 vs 46.5 ms —
         # the custom VJP rematerialises the forward in XLA, so backward pays
-        # an extra FFN pass. "auto" therefore selects the kernel exactly for
+        # an extra FFN pass. "auto" therefore selects the kernels exactly for
         # deterministic (inference/eval) passes on real TPU and keeps the
-        # einsum path for training; "fused" forces it everywhere (tests run
-        # it interpreted off-TPU).
+        # einsum path for training; "fused" forces them everywhere (tests run
+        # interpreted off-TPU).
         use_fused = cfg.ffn_impl == "fused" or (
             cfg.ffn_impl == "auto"
             and deterministic
@@ -267,11 +274,63 @@ class EncoderLayer(nn.Module):
             dp = mesh.shape.get("data", 1)
             mp = mesh.shape.get("model", 1)
             if mp > 1 or dp * mp != mesh.devices.size or b % dp:
-                # TP shards the FFN weights on the intermediate dim — the
-                # partial outputs need a psum before residual+LN, the fusion
-                # boundary; non-(data, model) meshes and indivisible batches
-                # can't row-shard: einsum path.
+                # TP shards the FFN weights on the intermediate dim (and the
+                # out-proj on the input dim) — the partial outputs need a
+                # psum before residual+LN, the fusion boundary; non-(data,
+                # model) meshes and indivisible batches can't row-shard:
+                # einsum path.
                 use_fused = False
+        interpret = jax.default_backend() != "tpu"  # tests
+        # The attention epilogue is gated separately: fused_proj_ln is
+        # oracle-exact and costs nothing, but its measured effect on the
+        # encoder forward is within tunnel noise (EPILOGUE A/B below), so
+        # "auto" currently keeps it ON alongside the FFN kernel.
+        use_fused_ep = use_fused and cfg.attn_epilogue != "xla"
+
+        if use_fused_ep:
+            # Attention with the projection→dropout→residual→LayerNorm
+            # epilogue fused into one row-tiled kernel: the einsum path's
+            # three [N, D] HBM round-trips (projection out, residual sum,
+            # LN read) collapse to ctx+residual in, normalized out.
+            from vibertgrid_tpu.ops.fused_ffn import (
+                fused_proj_ln,
+                fused_proj_ln_sharded,
+            )
+
+            ctx, w_out, b_out = SelfAttention(
+                cfg, self.dtype, name="attention", return_ctx=True
+            )(hidden, attn_bias, deterministic)
+            g_a, bt_a = _LayerNormParams(name="attention_ln")(d)
+            rate = 0.0 if deterministic else cfg.hidden_dropout
+            if rate > 0.0:
+                seed = derive_seed(self.make_rng("dropout"))
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            ctx2d = ctx.reshape(b * t, d)
+            res2d = hidden.reshape(b * t, d)
+            if multi:
+                h2d = fused_proj_ln_sharded(
+                    ctx2d, res2d, w_out, b_out, g_a, bt_a, seed,
+                    cfg.layer_norm_eps, rate, interpret, mesh=mesh,
+                )
+            else:
+                h2d = fused_proj_ln(
+                    ctx2d, res2d, w_out, b_out, g_a, bt_a, seed,
+                    cfg.layer_norm_eps, rate, interpret,
+                )
+            hidden = h2d.reshape(b, t, d)
+        else:
+            attn = SelfAttention(cfg, self.dtype, name="attention")(
+                hidden, attn_bias, deterministic
+            )
+            attn = HashDropout(cfg.hidden_dropout)(
+                attn, deterministic=deterministic
+            )
+            hidden = LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                name="attention_ln",
+            )(hidden + attn)
+
         if use_fused:
             from vibertgrid_tpu.ops.fused_ffn import fused_ffn, fused_ffn_sharded
 

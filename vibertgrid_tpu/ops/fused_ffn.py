@@ -281,6 +281,193 @@ def _fused_ffn_bwd(eps, rate, interpret, residuals, grad):
 fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused attention epilogue: out-projection → dropout → residual → LayerNorm.
+# ---------------------------------------------------------------------------
+
+
+def proj_ln_reference(ctx, res, w, b, ln_scale, ln_bias, seed, eps, rate):
+    """XLA formulation of the attention epilogue the kernel fuses (and the
+    VJP differentiates): ``LayerNorm(res + dropout(ctx @ w + b))`` — the
+    ``attention/out`` Dense + ``attention_ln`` tail of ``EncoderLayer``
+    (the HF ``BertSelfOutput`` module the reference drives per window,
+    /root/reference/model/BERTgrid_generator.py:99-146)."""
+    dt = ctx.dtype
+    out = (
+        jnp.dot(ctx, w.astype(dt), preferred_element_type=jnp.float32)
+        + b.astype(jnp.float32)
+    )
+    if rate > 0.0:
+        n = out.size
+        bits = splitmix32(
+            jax.lax.iota(jnp.uint32, n).reshape(out.shape), seed
+        )
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    r = res.astype(jnp.float32) + out
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (r - mean) * jax.lax.rsqrt(var + eps)
+    return (y * ln_scale + ln_bias).astype(dt)
+
+
+def _proj_ln_kernel(
+    ctx_ref, res_ref, w_ref, b_ref, g_ref, bt_ref, seed_ref, out_ref,
+    *, eps, rate, rows, d,
+):
+    ctx = ctx_ref[...]  # [R, D] compute dtype
+    out = (
+        jax.lax.dot_general(
+            ctx,
+            w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_ref[...]
+    )  # [R, D] fp32
+    if rate > 0.0:
+        pid = pl.program_id(0)
+        seed = seed_ref[0, 0]
+        r_ = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
+        c_ = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
+        flat = (pid.astype(jnp.uint32) * jnp.uint32(rows) + r_) * jnp.uint32(
+            d
+        ) + c_
+        bits = splitmix32(flat, seed)
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    r = res_ref[...].astype(jnp.float32) + out
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(r), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (r - mean) * jax.lax.rsqrt(var + eps)
+    out_ref[...] = (y * g_ref[...] + bt_ref[...]).astype(out_ref.dtype)
+
+
+def _proj_row_tile(n: int, d: int, itemsize: int) -> int | None:
+    """Row tile for the projection epilogue: W [D, D] constant block plus
+    per-row ctx/res/out [R, D] (+ fp32 temporaries). Same 13 MB VMEM budget
+    discipline as :func:`_row_tile`."""
+    budget = 13 * 2**20
+    weights = d * d * itemsize
+    per_row = d * itemsize * 3 + d * 4 * 3
+    cap = max(_round_up(n, 8), 8)
+    for r in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if r <= cap and weights + r * per_row <= budget:
+            return r
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_proj_ln(ctx, res, w, b, ln_scale, ln_bias, seed, eps, rate=0.0,
+                  interpret=False):
+    """Fused GEMM→dropout→residual→LayerNorm (attention epilogue).
+
+    ``ctx``: [N, D] attention context rows (compute dtype); ``res``: [N, D]
+    residual stream. Weights/biases/LN params are the fp32 flax leaves.
+    Returns [N, D] in ``ctx.dtype``. Byte motive: the einsum path writes the
+    projection output, re-reads it with the residual, and re-reads the sum
+    for LayerNorm — three [N, D] HBM round-trips this kernel collapses into
+    ctx+res in, y out.
+    """
+    out, _ = _fused_proj_ln_fwd(ctx, res, w, b, ln_scale, ln_bias, seed, eps,
+                                rate, interpret)
+    return out
+
+
+def _fused_proj_ln_fwd(ctx, res, w, b, ln_scale, ln_bias, seed, eps, rate,
+                       interpret):
+    n, d = ctx.shape
+    dt = ctx.dtype
+    r = _proj_row_tile(n, d, dt.itemsize)
+    residuals = (ctx, res, w, b, ln_scale, ln_bias, seed)
+    if r is None:
+        out = proj_ln_reference(ctx, res, w, b, ln_scale, ln_bias, seed, eps,
+                                rate)
+        return out, residuals
+    np_rows = _round_up(n, r)
+    if np_rows != n:
+        ctx_p = jnp.pad(ctx, ((0, np_rows - n), (0, 0)))
+        res_p = jnp.pad(res, ((0, np_rows - n), (0, 0)))
+    else:
+        ctx_p, res_p = ctx, res
+
+    row_spec = pl.BlockSpec((r, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_proj_ln_kernel, eps=eps, rate=rate, rows=r, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_rows // r,),
+        in_specs=[
+            row_spec,
+            row_spec,
+            const((d, d)),
+            const((1, d)),
+            const((1, d)),
+            const((1, d)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((np_rows, d), dt),
+        interpret=interpret,
+    )(
+        ctx_p,
+        res_p,
+        w.astype(dt),
+        b.astype(jnp.float32).reshape(1, d),
+        ln_scale.astype(jnp.float32).reshape(1, d),
+        ln_bias.astype(jnp.float32).reshape(1, d),
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+    )
+    return out[:n], residuals
+
+
+def _fused_proj_ln_bwd(eps, rate, interpret, residuals, grad):
+    ctx, res, w, b, ln_scale, ln_bias, seed = residuals
+    _, vjp = jax.vjp(
+        lambda ctx, res, w, b, g, bt: proj_ln_reference(
+            ctx, res, w, b, g, bt, seed, eps, rate
+        ),
+        ctx, res, w, b, ln_scale, ln_bias,
+    )
+    dctx, dres, dw, db, dg, dbt = vjp(grad)
+    d_seed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return dctx, dres, dw, db, dg, dbt, d_seed
+
+
+fused_proj_ln.defvjp(_fused_proj_ln_fwd, _fused_proj_ln_bwd)
+
+
+def fused_proj_ln_sharded(
+    ctx, res, w, b, ln_scale, ln_bias, seed, eps, rate=0.0, interpret=False,
+    *, mesh, data_axis="data",
+):
+    """:func:`fused_proj_ln` per data shard (same contract and TP caveat as
+    :func:`fused_ffn_sharded`: rows shard on ``data``, weights replicate,
+    replicated-input cotangents psum automatically; under TP the out-proj
+    weights shard on the input dim and the partial outputs need a psum
+    before residual+LN — callers use the einsum path there)."""
+    n = ctx.shape[0]
+    dp = mesh.shape[data_axis]
+    assert n % dp == 0, (n, dp)
+    P = jax.sharding.PartitionSpec
+
+    def local(ctx, res, w, b, g, bt, seed):
+        if rate > 0.0:
+            shard = jax.lax.axis_index(data_axis)
+            seed = seed + shard.astype(jnp.int32) * jnp.int32(2**16)
+        return fused_proj_ln(ctx, res, w, b, g, bt, seed, eps, rate, interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(data_axis, None)) + (P(),) * 5,
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )(ctx, res, w, b, ln_scale, ln_bias, seed)
+
+
 def fused_ffn_sharded(
     x,
     w1,
