@@ -15,6 +15,14 @@ def tiny_hyp(root, weights=""):
     return {
         "comment": "synthetic-smoke",
         "tee_logs": False,
+        # Single-device mesh: the driver's default (all 8 virtual devices)
+        # makes every smoke run its heavy train-step graph with 8 collective
+        # threads on the ONE-core sandbox — the grounded XLA:CPU rendezvous
+        # SIGABRT trigger (CLAUDE.md; killed the canonical suite in r3).
+        # Multi-device driver semantics stay covered by the zero1 smoke
+        # (mesh_data=2) and test_parallel_train's DP-equivalence proofs.
+        "mesh_data": 1,
+        "mesh_model": 1,
         "data_root": root,
         "tokenizer_path": f"{root}/vocab.txt",
         "batch_size": 2,
