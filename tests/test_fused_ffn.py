@@ -210,6 +210,131 @@ def test_fused_ffn_sharded_dropout_decorrelated():
 
 
 # ---------------------------------------------------------------------------
+# Saved-intermediate training variant (fused_ffn_saved)
+# ---------------------------------------------------------------------------
+
+from vibertgrid_tpu.ops.fused_ffn import (  # noqa: E402
+    fused_ffn_saved,
+    fused_ffn_saved_sharded,
+)
+
+
+def test_fused_ffn_saved_forward_identical_to_fused():
+    w1, b1, w2, b2, g, bt = _params()
+    x = jnp.asarray(RNG.standard_normal((40, 64)), jnp.float32)  # pad path too
+    seed = jnp.asarray(7, jnp.int32)
+    for rate in (0.0, 0.5):
+        got = fused_ffn_saved(x, w1, b1, w2, b2, g, bt, seed, EPS, rate, True)
+        want = fused_ffn(x, w1, b1, w2, b2, g, bt, seed, EPS, rate, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6, err_msg=f"rate={rate}"
+        )
+
+
+def test_fused_ffn_saved_grads_match_reference():
+    """The 4-GEMM no-remat backward == jax.grad through the XLA
+    formulation, for all seven differentiable args, with and without
+    dropout (fp32: the saved h1/yhat round-trips are exact)."""
+    w1, b1, w2, b2, g, bt = _params()
+    x = jnp.asarray(RNG.standard_normal((24, 64)), jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((24, 64)), jnp.float32)
+    for rate in (0.0, 0.3):
+        seed = jnp.asarray(11, jnp.int32)
+
+        def loss_k(*args):
+            return jnp.sum(
+                fused_ffn_saved(*args, seed, EPS, rate, True) * w
+            )
+
+        def loss_r(*args):
+            return jnp.sum(ffn_reference(*args, seed, EPS, rate) * w)
+
+        gk = jax.grad(loss_k, argnums=tuple(range(7)))(
+            x, w1, b1, w2, b2, g, bt
+        )
+        gr = jax.grad(loss_r, argnums=tuple(range(7)))(
+            x, w1, b1, w2, b2, g, bt
+        )
+        for a, b, name in zip(gk, gr, ["x", "w1", "b1", "w2", "b2", "g", "bt"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"{name} rate={rate}",
+            )
+
+
+def test_fused_ffn_saved_sharded_matches_plain():
+    mesh = _mesh(4, 1)
+    w1, b1, w2, b2, g, bt = _params()
+    x = jnp.asarray(RNG.standard_normal((32, 64)), jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((32, 64)), jnp.float32)
+
+    def loss_sh(x, w1, b1, w2, b2, g, bt):
+        return jnp.sum(
+            fused_ffn_saved_sharded(
+                x, w1, b1, w2, b2, g, bt, SEED0, EPS, 0.0, True, mesh=mesh
+            )
+            * w
+        )
+
+    def loss_plain(x, w1, b1, w2, b2, g, bt):
+        return jnp.sum(
+            fused_ffn_saved(x, w1, b1, w2, b2, g, bt, SEED0, EPS, 0.0, True)
+            * w
+        )
+
+    gs = jax.jit(jax.grad(loss_sh, argnums=tuple(range(7))))(
+        x, w1, b1, w2, b2, g, bt
+    )
+    gp = jax.grad(loss_plain, argnums=tuple(range(7)))(x, w1, b1, w2, b2, g, bt)
+    for a, b, name in zip(gs, gp, ["x", "w1", "b1", "w2", "b2", "g", "bt"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, err_msg=name
+        )
+
+
+def test_encoder_fused_saved_grads_match_xla():
+    """ffn_impl='fused-saved' encoder: identical param tree, and the full
+    training-pass (deterministic=False) gradient matches the einsum path's
+    from the same variables. Dropout rates are zeroed so the two impls see
+    the same function (the dropout-pattern identity is pinned per-kernel
+    above); the gate still routes through fused_ffn_saved because the pass
+    is non-deterministic."""
+    from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig
+
+    ids = jnp.asarray(RNG.integers(3, 500, (2, 40)), jnp.int32)
+    mask = jnp.ones((2, 40), jnp.int32).at[:, 30:].set(0)
+    cfg0 = dataclasses.replace(
+        TextEncoderConfig.tiny(), ffn_impl="fused-saved",
+        hidden_dropout=0.0, attention_dropout=0.0, attn_epilogue="xla",
+    )
+    enc_sv = TextEncoder(cfg0)
+    enc_xla = TextEncoder(dataclasses.replace(cfg0, ffn_impl="xla"))
+    variables = enc_xla.init(jax.random.PRNGKey(0), ids, mask)
+    assert jax.tree_util.tree_structure(
+        enc_sv.init(jax.random.PRNGKey(0), ids, mask)
+    ) == jax.tree_util.tree_structure(variables)
+
+    def loss(enc):
+        return lambda v: jnp.sum(
+            jnp.square(
+                enc.apply(
+                    v, ids, mask, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+            )
+        )
+
+    gs = jax.grad(loss(enc_sv))(variables)
+    gx = jax.grad(loss(enc_xla))(variables)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gx)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
+# ---------------------------------------------------------------------------
 # Fused attention epilogue (fused_proj_ln)
 # ---------------------------------------------------------------------------
 

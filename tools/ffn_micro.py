@@ -88,6 +88,10 @@ def main():
         ("xla", dict(ffn_impl="xla")),
         ("fused-ffn", dict(ffn_impl="fused", attn_epilogue="xla")),
         ("fused", dict(ffn_impl="fused")),
+        # saved-intermediate VJP: grad passes run the kernel + 4-GEMM
+        # backward instead of the remat VJP — the fwd+bwd rows decide
+        # whether training flips onto the kernel (VERDICT r3 ask #5)
+        ("fused-saved", dict(ffn_impl="fused-saved", attn_epilogue="xla")),
     )
     for name, over in variants:
         enc = TextEncoder(dataclasses.replace(base, **over), DTYPE)

@@ -200,6 +200,44 @@ def main():
         bool(jnp.all(jnp.isfinite(gff.astype(jnp.float32)))),
     )
 
+    # --- saved-intermediate training variant: compiled fwd parity + the
+    # 4-GEMM no-remat backward vs jax.grad through the XLA formulation ---
+    from vibertgrid_tpu.ops.fused_ffn import fused_ffn_saved
+
+    gots = jax.jit(
+        lambda x: fused_ffn_saved(x, w1, b1, w2, b2, lng, lnb, seed0, 1e-12, 0.0)
+    )(x)
+    errs = float(
+        jnp.max(jnp.abs(gots.astype(jnp.float32) - wantf.astype(jnp.float32)))
+    )
+    check("fused_ffn_saved fwd vs reference", errs < 3e-2, f"max err {errs:.2e}")
+    gsv = jax.jit(
+        jax.grad(
+            lambda x: jnp.sum(
+                fused_ffn_saved(
+                    x, w1, b1, w2, b2, lng, lnb, seed, 1e-12, 0.1
+                ).astype(jnp.float32)
+            )
+        )
+    )(x)
+    grf = jax.jit(
+        jax.grad(
+            lambda x: jnp.sum(
+                ffn_reference(
+                    x, w1, b1, w2, b2, lng, lnb, seed, 1e-12, 0.1
+                ).astype(jnp.float32)
+            )
+        )
+    )(x)
+    errg = float(
+        jnp.max(jnp.abs(gsv.astype(jnp.float32) - grf.astype(jnp.float32)))
+    )
+    check(
+        "fused_ffn_saved dx vs XLA-remat grad (bf16 residual round-trip)",
+        errg < 0.25 and bool(jnp.all(jnp.isfinite(gsv.astype(jnp.float32)))),
+        f"max abs err {errg:.2e}",
+    )
+
     # --- fused attention epilogue: compiled vs the XLA reference ---
     from vibertgrid_tpu.ops.fused_ffn import fused_proj_ln, proj_ln_reference
 

@@ -265,10 +265,17 @@ class EncoderLayer(nn.Module):
         # deterministic (inference/eval) passes on real TPU and keeps the
         # einsum path for training; "fused" forces them everywhere (tests run
         # interpreted off-TPU).
-        use_fused = cfg.ffn_impl == "fused" or (
+        use_fused = cfg.ffn_impl in ("fused", "fused-saved") or (
             cfg.ffn_impl == "auto"
             and deterministic
             and jax.default_backend() == "tpu"
+        )
+        # "fused-saved": grad-path passes run the saved-intermediate kernel
+        # (ops/fused_ffn.py::fused_ffn_saved) whose VJP is the minimal
+        # 4-GEMM backward — no forward rematerialisation. Deterministic
+        # passes never differentiate, so they keep the residual-free kernel.
+        use_saved = (
+            use_fused and not deterministic and cfg.ffn_impl == "fused-saved"
         )
         if use_fused and multi:
             dp = mesh.shape.get("data", 1)
@@ -332,7 +339,12 @@ class EncoderLayer(nn.Module):
             )(hidden + attn)
 
         if use_fused:
-            from vibertgrid_tpu.ops.fused_ffn import fused_ffn, fused_ffn_sharded
+            from vibertgrid_tpu.ops.fused_ffn import (
+                fused_ffn,
+                fused_ffn_saved,
+                fused_ffn_saved_sharded,
+                fused_ffn_sharded,
+            )
 
             d = cfg.hidden_size
             w1, b1 = _DenseParams(cfg.intermediate_size, name="intermediate")(d)
@@ -346,12 +358,14 @@ class EncoderLayer(nn.Module):
             x2d = hidden.reshape(b * t, d)
             interpret = jax.default_backend() != "tpu"  # tests
             if multi:
-                out2d = fused_ffn_sharded(
+                fn = fused_ffn_saved_sharded if use_saved else fused_ffn_sharded
+                out2d = fn(
                     x2d, w1, b1, w2, b2, g, bt, seed,
                     cfg.layer_norm_eps, rate, interpret, mesh=mesh,
                 )
             else:
-                out2d = fused_ffn(
+                fn = fused_ffn_saved if use_saved else fused_ffn
+                out2d = fn(
                     x2d, w1, b1, w2, b2, g, bt, seed,
                     cfg.layer_norm_eps, rate, interpret,
                 )

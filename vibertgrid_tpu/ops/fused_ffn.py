@@ -282,6 +282,280 @@ fused_ffn.defvjp(_fused_ffn_fwd, _fused_ffn_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Saved-intermediate variant: the training-path kernel (VERDICT r3 ask #5).
+#
+# ``fused_ffn``'s VJP rematerialises the whole forward in XLA, so fwd+bwd
+# pays 6 GEMM-equivalents (2 remat + 4 backward) and measured a net LOSS
+# vs the einsum path for training (encoder fwd+bwd 48.9 vs 46.5 ms).
+# This variant's forward kernel ADDITIONALLY writes the residuals backward
+# actually needs — the pre-gelu intermediate h1 [N, F], the normalized
+# rows yhat [N, D] (saved explicitly rather than recovered as (y-β)/γ,
+# which would blow up rounding error wherever a LayerNorm scale channel
+# passes near 0), and the per-row inverse stddev — so backward is the
+# minimal 4-GEMM XLA graph with no forward rematerialisation: gelu/LN/
+# dropout all reconstruct elementwise from the saved tensors.
+# ---------------------------------------------------------------------------
+
+
+def _gelu_grad_f32(z):
+    # d/dz gelu_exact(z) = Phi(z) + z * phi(z), phi the standard normal pdf.
+    phi = jnp.exp(-0.5 * z * z) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    cdf = 0.5 * (1.0 + _erf_f32(z * np.float32(1.0 / np.sqrt(2.0))))
+    return cdf + z * phi
+
+
+def _ffn_saved_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, bt_ref, seed_ref,
+    out_ref, h1_ref, yhat_ref, rsig_ref,
+    *, eps, rate, rows, d,
+):
+    x = x_ref[...]  # [R, D] compute dtype
+    h1 = (
+        jax.lax.dot_general(
+            x, w1_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...]
+    )  # [R, F] fp32
+    h1_ref[...] = h1.astype(h1_ref.dtype)
+    inter = _gelu_exact_f32(h1).astype(x.dtype)
+    out = (
+        jax.lax.dot_general(
+            inter, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[...]
+    )  # [R, D] fp32
+    if rate > 0.0:
+        pid = pl.program_id(0)
+        seed = seed_ref[0, 0]
+        r = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, out.shape, 1)
+        flat = (pid.astype(jnp.uint32) * jnp.uint32(rows) + r) * jnp.uint32(
+            d
+        ) + c
+        bits = splitmix32(flat, seed)
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    res = x.astype(jnp.float32) + out
+    mean = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(res), axis=-1, keepdims=True) - jnp.square(mean)
+    rsig = jax.lax.rsqrt(var + eps)
+    yhat = (res - mean) * rsig
+    yhat_ref[...] = yhat.astype(yhat_ref.dtype)
+    rsig_ref[...] = rsig
+    out_ref[...] = (yhat * g_ref[...] + bt_ref[...]).astype(out_ref.dtype)
+
+
+def _row_tile_saved(n: int, d: int, f: int, itemsize: int) -> int | None:
+    """Like :func:`_row_tile` plus the saved outputs' per-row VMEM: h1
+    [R, F] and yhat [R, D] in the compute dtype, rsig [R, 1] fp32."""
+    budget = 13 * 2**20
+    weights = 2 * d * f * itemsize
+    per_row = (
+        f * 4 + f * itemsize * 2 + d * itemsize * 3 + d * 4 * 2 + 4
+    )
+    cap = max(_round_up(n, 8), 8)
+    for r in (512, 256, 128, 64, 32, 16, 8):
+        if r <= cap and weights + r * per_row <= budget:
+            return r
+    return None
+
+
+def _ffn_saved_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                         rate):
+    """XLA twin of :func:`_ffn_saved_kernel` (fallback when no tile fits,
+    and the oracle the tests pin the kernel against)."""
+    dt = x.dtype
+    h1 = (
+        jnp.dot(x, w1.astype(dt), preferred_element_type=jnp.float32)
+        + b1.astype(jnp.float32)
+    )
+    inter = _gelu_exact_f32(h1).astype(dt)
+    out = (
+        jnp.dot(inter, w2.astype(dt), preferred_element_type=jnp.float32)
+        + b2.astype(jnp.float32)
+    )
+    if rate > 0.0:
+        bits = splitmix32(
+            jax.lax.iota(jnp.uint32, out.size).reshape(out.shape), seed
+        )
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        out = jnp.where(bits >= threshold, out / (1.0 - rate), 0.0)
+    res = x.astype(jnp.float32) + out
+    mean = jnp.mean(res, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(res), axis=-1, keepdims=True) - jnp.square(mean)
+    rsig = jax.lax.rsqrt(var + eps)
+    yhat = (res - mean) * rsig
+    y = (yhat * ln_scale + ln_bias).astype(dt)
+    return y, h1.astype(dt), yhat.astype(dt), rsig
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_ffn_saved(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                    rate=0.0, interpret=False):
+    """:func:`fused_ffn` with backward-friendly residual saving.
+
+    Same forward semantics (bit-identical math); the kernel additionally
+    writes h1/yhat/rsig so the VJP runs the minimal 4-GEMM backward with
+    NO forward rematerialisation. Use on the training path; inference
+    callers use :func:`fused_ffn` (no extra residual bytes).
+    """
+    out, _ = _fused_ffn_saved_fwd(
+        x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate, interpret
+    )
+    return out
+
+
+def _fused_ffn_saved_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                         rate, interpret):
+    n, d = x.shape
+    f = w1.shape[1]
+    dt = x.dtype
+    r = _row_tile_saved(n, d, f, dt.itemsize)
+    if r is None:
+        y, h1, yhat, rsig = _ffn_saved_reference(
+            x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate
+        )
+    else:
+        np_rows = _round_up(n, r)
+        xp = jnp.pad(x, ((0, np_rows - n), (0, 0))) if np_rows != n else x
+        row_spec = pl.BlockSpec(
+            (r, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        const = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        kernel = functools.partial(
+            _ffn_saved_kernel, eps=eps, rate=rate, rows=r, d=d
+        )
+        y, h1, yhat, rsig = pl.pallas_call(
+            kernel,
+            grid=(np_rows // r,),
+            in_specs=[
+                row_spec,
+                const((d, f)),
+                const((1, f)),
+                const((f, d)),
+                const((1, d)),
+                const((1, d)),
+                const((1, d)),
+                pl.BlockSpec(
+                    (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                ),
+            ],
+            out_specs=[
+                row_spec,
+                pl.BlockSpec((r, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                row_spec,
+                pl.BlockSpec((r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((np_rows, d), dt),
+                jax.ShapeDtypeStruct((np_rows, f), dt),
+                jax.ShapeDtypeStruct((np_rows, d), dt),
+                jax.ShapeDtypeStruct((np_rows, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(
+            xp,
+            w1.astype(dt),
+            b1.astype(jnp.float32).reshape(1, f),
+            w2.astype(dt),
+            b2.astype(jnp.float32).reshape(1, d),
+            ln_scale.astype(jnp.float32).reshape(1, d),
+            ln_bias.astype(jnp.float32).reshape(1, d),
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        )
+        y, h1, yhat, rsig = y[:n], h1[:n], yhat[:n], rsig[:n]
+    residuals = (x, h1, yhat, rsig, w1, w2, ln_scale, seed)
+    return y, residuals
+
+
+def _fused_ffn_saved_bwd(eps, rate, interpret, residuals, dy):
+    x, h1, yhat, rsig, w1, w2, ln_scale, seed = residuals
+    n, d = x.shape
+    dt = x.dtype
+    dyf = dy.astype(jnp.float32)
+    yhatf = yhat.astype(jnp.float32)
+    # LayerNorm backward from the saved normalized rows + inverse stddev.
+    dg = jnp.sum(dyf * yhatf, axis=0)
+    dbt = jnp.sum(dyf, axis=0)
+    dyg = dyf * ln_scale.astype(jnp.float32)
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * yhatf, axis=-1, keepdims=True)
+    dr = rsig * (dyg - m1 - yhatf * m2)  # [N, D] fp32
+    # Dropout backward: regenerate the identical keep mask.
+    if rate > 0.0:
+        bits = splitmix32(
+            jax.lax.iota(jnp.uint32, dr.size).reshape(dr.shape), seed
+        )
+        threshold = jnp.uint32(int(rate * float(2**32)))
+        do = jnp.where(bits >= threshold, dr / (1.0 - rate), 0.0)
+    else:
+        do = dr
+    db2 = jnp.sum(do, axis=0)
+    # gelu value + derivative reconstruct elementwise from the saved h1.
+    h1f = h1.astype(jnp.float32)
+    a = _gelu_exact_f32(h1f).astype(dt)
+    do_dt = do.astype(dt)
+    dw2 = jnp.dot(a.T, do_dt, preferred_element_type=jnp.float32)
+    da = jnp.dot(do_dt, w2.astype(dt).T, preferred_element_type=jnp.float32)
+    dh1 = da * _gelu_grad_f32(h1f)
+    db1 = jnp.sum(dh1, axis=0)
+    dh1_dt = dh1.astype(dt)
+    dw1 = jnp.dot(x.T, dh1_dt, preferred_element_type=jnp.float32)
+    dx = (
+        jnp.dot(dh1_dt, w1.astype(dt).T, preferred_element_type=jnp.float32)
+        + dr
+    ).astype(dt)
+    d_seed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return (
+        dx,
+        dw1.astype(w1.dtype),
+        db1.astype(w1.dtype),
+        dw2.astype(w2.dtype),
+        db2.astype(w2.dtype),
+        dg.astype(ln_scale.dtype),
+        dbt.astype(ln_scale.dtype),
+        d_seed,
+    )
+
+
+fused_ffn_saved.defvjp(_fused_ffn_saved_fwd, _fused_ffn_saved_bwd)
+
+
+def fused_ffn_saved_sharded(
+    x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate=0.0,
+    interpret=False, *, mesh, data_axis="data",
+):
+    """:func:`fused_ffn_saved` per data shard (same contract and TP caveat
+    as :func:`fused_ffn_sharded`)."""
+    n = x.shape[0]
+    dp = mesh.shape[data_axis]
+    assert n % dp == 0, (n, dp)
+    P = jax.sharding.PartitionSpec
+
+    def local(x, w1, b1, w2, b2, g, bt, seed):
+        if rate > 0.0:
+            shard = jax.lax.axis_index(data_axis)
+            seed = seed + shard.astype(jnp.int32) * jnp.int32(2**16)
+        return fused_ffn_saved(
+            x, w1, b1, w2, b2, g, bt, seed, eps, rate, interpret
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, None),) + (P(),) * 7,
+        out_specs=P(data_axis, None),
+        check_vma=False,
+    )(x, w1, b1, w2, b2, ln_scale, ln_bias, seed)
+
+
+# ---------------------------------------------------------------------------
 # Fused attention epilogue: out-projection → dropout → residual → LayerNorm.
 # ---------------------------------------------------------------------------
 
