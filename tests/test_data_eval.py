@@ -118,6 +118,20 @@ class TestSeqevalLite:
         macro = bio_f1(y_true, y_pred, "macro")[2]
         assert micro > macro  # b has F1 0
 
+    def test_per_type_f1_collapse_signature(self):
+        from vibertgrid_tpu.eval.seqeval_lite import per_type_f1
+
+        y_true = [["B-a", "I-a", "O", "B-b", "B-c"]]
+        # majority-class collapse: every token predicted as type a —
+        # at most ONE type can score (the learnability gate's signature)
+        y_collapse = [["B-a", "I-a", "B-a", "B-a", "B-a"]]
+        per = per_type_f1(y_true, y_collapse)
+        assert sum(1 for v in per.values() if v > 0) <= 1, per
+        # real learning: two types right, one missed → exactly 2 nonzero
+        y_learned = [["B-a", "I-a", "O", "B-b", "O"]]
+        per = per_type_f1(y_true, y_learned)
+        assert per["a"] == 1.0 and per["b"] == 1.0 and per["c"] == 0.0
+
     @pytest.mark.skipif(True, reason="seqeval not installed in sandbox")
     def test_against_real_seqeval(self):
         pass

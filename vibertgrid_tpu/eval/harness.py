@@ -241,6 +241,13 @@ def validate(
     if eval_mode in ("seqeval", "seq_and_str") and pred_tag_seqs:
         p, r, f = bio_f1(gt_tag_seqs, pred_tag_seqs, seqeval_average)
         results.update(token_precision=p, token_recall=r, token_F1=f)
+        from vibertgrid_tpu.eval.seqeval_lite import per_type_f1
+
+        # Per-type F1: the learnability gate's collapse signature (a
+        # majority-class model scores on ≤1 type); also the reference's
+        # per-type report content (seqeval classification_report printed
+        # at train_val_utils.py:640).
+        results["per_type_F1"] = per_type_f1(gt_tag_seqs, pred_tag_seqs)
         if verbose:
             print(classification_report(gt_tag_seqs, pred_tag_seqs))
     if eval_mode in ("strcmp", "seq_and_str"):

@@ -116,6 +116,18 @@ def bio_f1(
     raise ValueError(f"unknown average {average!r}")
 
 
+def per_type_f1(y_true, y_pred) -> dict[str, float]:
+    """Entity-level F1 per type. A majority-class-collapsed model scores
+    nonzero on at most ONE type — the direct collapse signature the
+    learnability gate asserts on (VERDICT r3 weak #7)."""
+    true_set, pred_set = _collect(list(y_true), list(y_pred))
+    types = sorted(set(true_set) | set(pred_set))
+    return {
+        t: _prf(len(true_set[t] & pred_set[t]), len(pred_set[t]), len(true_set[t]))[2]
+        for t in types
+    }
+
+
 def classification_report(y_true, y_pred) -> str:
     """Per-type report string (seqeval-style)."""
     y_true, y_pred = list(y_true), list(y_pred)

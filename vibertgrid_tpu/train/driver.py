@@ -358,8 +358,12 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
             seqeval_average=hyp.get("seqeval_average", spec.seqeval_average),
         )
 
+    def _learned_types(res: dict) -> int:
+        return sum(1 for v in res.get("per_type_F1", {}).values() if v > 0)
+
     results = run_validate()  # initial validate (train_SROIE.py:324-335)
     best_f1 = results["primary_F1"]
+    best_learned_types = _learned_types(results)
 
     # Per-iteration console/TB log (train_val_utils.py:293-335). Printing the
     # loss forces a device→host sync (~29 ms through the tunnel), so it is
@@ -447,6 +451,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         f1 = results["primary_F1"]
         logger.update(head="criteria", step=epoch + 1, label_F1=f1)
         best_f1 = max(best_f1, f1)
+        best_learned_types = max(best_learned_types, _learned_types(results))
         saved = ckpt.maybe_save(state, epoch, f1)
         if saved:
             print(f"==> checkpoint saved: {saved}")
@@ -455,6 +460,10 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
 
     logger.close()  # the TB writer owns a background thread; don't leak it
     results["best_F1"] = best_f1
+    # Collapse signature for the learnability gate: the max (over epochs)
+    # number of entity types with nonzero F1 — a majority-class-collapsed
+    # model never exceeds 1 regardless of seed wobble on the F1 scalar.
+    results["best_learned_types"] = best_learned_types
     results["final_state"] = state
     return results
 
