@@ -144,6 +144,31 @@ def test_encoder_fused_ffn_matches_xla_and_shares_param_tree():
     )
 
 
+def test_encoder_fused_epilogue_matches_xla():
+    """attn_epilogue='fused' routes the out-projection→residual→LN tail
+    through fused_proj_ln inside the encoder; output must match the einsum
+    path from the same variables ('auto' keeps einsum — measured slower on
+    chip — so the fused path needs its own coverage)."""
+    from vibertgrid_tpu.models.bert import TextEncoder, TextEncoderConfig
+
+    cfg = TextEncoderConfig.tiny()
+    ids = jnp.asarray(RNG.integers(3, 500, (2, 40)), jnp.int32)
+    mask = jnp.ones((2, 40), jnp.int32).at[:, 30:].set(0)
+    enc_xla = TextEncoder(dataclasses.replace(cfg, ffn_impl="xla"))
+    variables = enc_xla.init(jax.random.PRNGKey(0), ids, mask)
+    enc_ep = TextEncoder(
+        dataclasses.replace(cfg, ffn_impl="fused", attn_epilogue="fused")
+    )
+    assert jax.tree_util.tree_structure(
+        enc_ep.init(jax.random.PRNGKey(0), ids, mask)
+    ) == jax.tree_util.tree_structure(variables)
+    np.testing.assert_allclose(
+        np.asarray(enc_ep.apply(variables, ids, mask)),
+        np.asarray(enc_xla.apply(variables, ids, mask)),
+        atol=3e-5,
+    )
+
+
 def _mesh(data, model):
     from jax.sharding import Mesh
 

@@ -56,6 +56,9 @@ def main():
         help="override optimizer-state storage (the fp32-vs-bf16 "
              "convergence A/B, ADVICE r2 #4)",
     )
+    ap.add_argument("--cnn-lr", type=float, default=1e-3)
+    ap.add_argument("--bert-lr", type=float, default=2e-4)
+    ap.add_argument("--warmup", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -107,12 +110,14 @@ def main():
         # cnn lr 1e-3 + 3-epoch warmup. lr 5e-3 w/o warmup is knife-edge
         # (collapses in the current chip environment at ANY code version).
         "optimizer_cnn_hyp": dict(
-            learning_rate=1e-3, min_learning_rate=1e-5, warm_up_epoches=3,
+            learning_rate=args.cnn_lr, min_learning_rate=1e-5,
+            warm_up_epoches=args.warmup,
             warm_up_init_lr=1e-5, momentum=0.9, weight_decay=5e-4,
             min_weight_decay=5e-4,
         ),
         "optimizer_bert_hyp": dict(
-            learning_rate=2e-4, min_learning_rate=1e-7, warm_up_epoches=3,
+            learning_rate=args.bert_lr, min_learning_rate=1e-7,
+            warm_up_epoches=args.warmup,
             warm_up_init_lr=1e-7, beta1=0.9, beta2=0.999, epsilon=1e-8,
             weight_decay=0.01, min_weight_decay=0.01,
         ),

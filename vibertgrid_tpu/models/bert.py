@@ -97,9 +97,9 @@ class TextEncoderConfig:
     ffn_impl: str = "auto"
     # Attention epilogue (out-projection→dropout→residual→LN) kernel gate,
     # A/B-able independently of the FFN tail: "fused" runs fused_proj_ln
-    # wherever the FFN gate allows kernels at all, "xla" keeps the einsum
-    # epilogue, "auto" follows the measured default (tools/ffn_micro.py
-    # EPILOGUE A/B — see EncoderLayer comment).
+    # wherever the FFN gate allows kernels at all; "auto" follows the
+    # measured default, which is the EINSUM epilogue — two chip A/Bs found
+    # the fused epilogue ~0.3 ms slower (see EncoderLayer comment).
     attn_epilogue: str = "auto"
     # Device mesh with ("data", "model") axes for the sharded kernel wrapper;
     # None (or a 1-device mesh) selects the plain single-device kernel.
@@ -256,26 +256,23 @@ class EncoderLayer(nn.Module):
         mesh = cfg.mesh
         b, t, d = hidden.shape
         multi = mesh is not None and mesh.devices.size > 1
-        # Fused-epilogue gate, shared by the attention epilogue
-        # (fused_proj_ln) and the FFN tail (fused_ffn).
-        # Chip A/B (tools/ffn_micro.py, v5e, bs16×512, 2026-08-19): fused
-        # encoder fwd 10.6 vs 14.3 ms (−26%), but fwd+bwd 48.9 vs 46.5 ms —
-        # the custom VJP rematerialises the forward in XLA, so backward pays
-        # an extra FFN pass. "auto" therefore selects the kernels exactly for
-        # deterministic (inference/eval) passes on real TPU and keeps the
-        # einsum path for training; "fused" forces them everywhere (tests run
-        # interpreted off-TPU).
+        # FFN kernel gate. Chip A/B (tools/ffn_micro.py, v5e, bs16×512,
+        # ITERS=200, 2026-08-19): encoder fwd 10.6 (kernel) vs 14.3 ms
+        # (einsum), −26%; fwd+bwd 39.6 ms with the saved-intermediate VJP
+        # (fused_ffn_saved, minimal 4-GEMM backward) vs 46.5 einsum (−15%)
+        # vs 48.9 with the remat VJP. "auto" therefore selects kernels for
+        # EVERY pass on real TPU: the residual-free fused_ffn when
+        # deterministic (nothing differentiates), fused_ffn_saved on grad
+        # paths. "fused" forces the remat-VJP kernel, "fused-saved" the
+        # saved variant, "xla" the einsum path (tests run interpreted
+        # off-TPU).
         use_fused = cfg.ffn_impl in ("fused", "fused-saved") or (
-            cfg.ffn_impl == "auto"
-            and deterministic
-            and jax.default_backend() == "tpu"
+            cfg.ffn_impl == "auto" and jax.default_backend() == "tpu"
         )
-        # "fused-saved": grad-path passes run the saved-intermediate kernel
-        # (ops/fused_ffn.py::fused_ffn_saved) whose VJP is the minimal
-        # 4-GEMM backward — no forward rematerialisation. Deterministic
-        # passes never differentiate, so they keep the residual-free kernel.
         use_saved = (
-            use_fused and not deterministic and cfg.ffn_impl == "fused-saved"
+            use_fused
+            and not deterministic
+            and cfg.ffn_impl in ("fused-saved", "auto")
         )
         if use_fused and multi:
             dp = mesh.shape.get("data", 1)
@@ -289,10 +286,12 @@ class EncoderLayer(nn.Module):
                 use_fused = False
         interpret = jax.default_backend() != "tpu"  # tests
         # The attention epilogue is gated separately: fused_proj_ln is
-        # oracle-exact and costs nothing, but its measured effect on the
-        # encoder forward is within tunnel noise (EPILOGUE A/B below), so
-        # "auto" currently keeps it ON alongside the FFN kernel.
-        use_fused_ep = use_fused and cfg.attn_epilogue != "xla"
+        # oracle-exact, but two independent chip A/Bs measured the encoder
+        # forward consistently ~0.3 ms WORSE with it (10.90/10.91 vs
+        # 10.62-10.64 FFN-kernel-only — the out-projection GEMM already
+        # overlaps the elementwise tail, and the kernel serializes it), so
+        # "auto" keeps the einsum epilogue; "fused" opts in.
+        use_fused_ep = use_fused and cfg.attn_epilogue == "fused"
 
         if use_fused_ep:
             # Attention with the projection→dropout→residual→LayerNorm
