@@ -161,3 +161,59 @@ def test_batching_engine_concurrent(engine):
         assert results == want
     finally:
         be.close()
+
+
+def test_uint8_upload_matches_fp32(tmp_path_factory):
+    """The uint8 wire format (4× fewer H2D bytes + in-graph normalize +
+    padding re-zeroed, engine.py) must produce the same extracted fields
+    and near-identical probabilities as the exact fp32 eval path."""
+    root = str(tmp_path_factory.mktemp("synth_u8"))
+    make_synthetic_root(root, n_train=2, n_test=1)
+    tokenizer = make_test_tokenizer(root)
+    hyp = {
+        "num_classes": 5,
+        "bert_version": "tiny-bert-test",
+        "backbone": "resnet_18_fpn",
+        "classifier_mode": "simp",
+        "layer_mode": "single",
+        "image_min_size": [256],
+        "test_image_min_size": 256,
+        "image_max_size": 400,
+        "image_mean": [0.9] * 3,
+        "image_std": [0.15] * 3,
+        "tag_mode": "B",
+    }
+    eng_u8 = InferenceEngine(
+        dict(hyp, serve_uint8_upload=True),
+        tokenizer=tokenizer,
+        spec=synthetic_spec(),
+    )
+    eng_f32 = InferenceEngine(
+        dict(hyp, serve_uint8_upload=False),
+        tokenizer=tokenizer,
+        spec=synthetic_spec(),
+    )
+    # identical random init (seed=0 in both constructors)
+    import jax
+
+    chex_equal = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: bool((a == b).all()),
+            eng_u8.state.params,
+            eng_f32.state.params,
+        )
+    )
+    assert chex_equal
+
+    rng = np.random.default_rng(3)
+    image = rng.random((220, 170, 3)).astype(np.float32)
+    texts = ["company corp", "total", "12.50", "main street"]
+    boxes = [
+        [10, 10, 90, 24],
+        [10, 40, 50, 54],
+        [60, 40, 100, 54],
+        [10, 80, 120, 94],
+    ]
+    r_u8 = eng_u8.predict(image, texts, boxes)
+    r_f32 = eng_f32.predict(image, texts, boxes)
+    assert r_u8 == r_f32

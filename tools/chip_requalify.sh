@@ -33,9 +33,13 @@ run() { # run <minutes> <name> <cmd...>
 #    on hardware — CLAUDE.md kernel ground rule)
 run 30 tpu_smoke python tools/tpu_smoke.py
 
-# 2. fused-FFN vs einsum A/B; if fused wins, flip the models/bert.py "auto"
-#    gate MANUALLY and re-run tpu_smoke + bench (judged: VERDICT r2 #3)
-run 30 ffn_micro python tools/ffn_micro.py
+# 2. fused-FFN vs einsum A/B — opt-in (RUN_FFN_MICRO=1): the A/B already
+#    decided both "auto" gates (2fa7041: saved-VJP kernel for training,
+#    einsum epilogue) and the tool's 8 fresh compiles through the tunnel
+#    blew a 30-min budget when queued right after tpu_smoke (2026-08-19).
+if [ "${RUN_FFN_MICRO:-0}" = "1" ]; then
+  run 45 ffn_micro python tools/ffn_micro.py
+fi
 
 # 3. localize the inference forward's slack (476 GB/s vs 794 train)
 run 30 infer_breakdown python tools/infer_breakdown.py

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--cnn-lr", type=float, default=1e-3)
     ap.add_argument("--bert-lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument(
+        "--val-every", type=int, default=1,
+        help="validate every N epochs (long runs; final epoch always)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,7 @@ def main():
         "start_epoch": 0,
         "end_epoch": args.epochs,
         "num_classes": 5,
+        "val_epoch_interval": args.val_every,
         "backbone": "resnet_18_fpn",
         "eval_mode": "seq_and_str",
         "layer_mode": "single",

@@ -73,7 +73,7 @@ def main():
         t0 = time.perf_counter()
         results = validate(
             eval_step, state, loader, spec, eval_mode="seq_and_str",
-            verbose=False,
+            tag_to_idx=tag_to_idx, verbose=False,
         )
         return time.perf_counter() - t0, results
 

@@ -87,6 +87,37 @@ def main():
             print(f"predict_many bs{bs:2d}: {dt * 1e3:7.1f} ms/batch "
                   f"({bs / dt:.1f} docs/s)")
 
+        # Decomposition: host collate / H2D upload / device forward+fetch.
+        # Through the sandbox tunnel the link (~77 MB/s up, ~29 ms/fetch)
+        # dominates; on a local TPU host (PCIe) the upload leg shrinks by
+        # >100× and the device leg is the bound.
+        samples = [engine._make_sample(image, texts, np.asarray(boxes))
+                   for _ in range(16)]
+        t0 = time.perf_counter()
+        batch, aux = engine.collator(samples, train=False)
+        t_collate = time.perf_counter() - t0
+        sizes = np.asarray(aux.image_sizes, np.int32)
+        nbytes = sum(
+            a.nbytes for a in jax.tree_util.tree_leaves(batch)
+        ) + sizes.nbytes
+        jax.device_put((batch, sizes))[0].images.block_until_ready()
+        t0 = time.perf_counter()
+        dev_batch, dev_sizes = jax.device_put((batch, sizes))
+        jax.device_get(dev_batch.images[0, 0, 0, 0])  # tunnel: fetch=sync
+        t_upload = time.perf_counter() - t0
+        variables = engine._variables()
+        engine._infer(variables, dev_batch, dev_sizes)  # warm
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(engine._infer(variables, dev_batch, dev_sizes))
+        t_fwd = (time.perf_counter() - t0) / 5
+        print(
+            f"decomposition bs16 ({'uint8' if engine.uint8_upload else 'fp32'}"
+            f" wire, {nbytes / 1e6:.1f} MB): collate {t_collate * 1e3:.1f} ms"
+            f"  upload {t_upload * 1e3:.1f} ms"
+            f"  device fwd+fetch {t_fwd * 1e3:.1f} ms"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -117,6 +117,7 @@ def validate(
 
     recall_sum = precision_sum = num_gt = num_det = 0.0
     losses = []
+    losses_c, losses_aux = [], []
     pred_tag_seqs, gt_tag_seqs = [], []
     pred_gt_pairs: list = []  # (pred [N,C] or ids [N], gt [N]) per document
     per_sample = {}
@@ -125,11 +126,16 @@ def validate(
         out = eval_step(state, batch)
         # ONE device→host fetch per batch (each fetch costs ~29 ms through
         # the tunnel): pull loss + predictions + labels together.
-        loss_v, pred, gt = jax.device_get(
-            (out.total_loss, out.pred_label, out.gt_label)
+        loss_v, loss_c_v, loss_aux_v, pred, gt = jax.device_get(
+            (out.total_loss, getattr(out, "loss_c", None),
+             getattr(out, "loss_aux", None), out.pred_label, out.gt_label)
         )
         if loss_v is not None:
             losses.append(float(loss_v))
+        if loss_c_v is not None:
+            losses_c.append(float(loss_c_v))
+        if loss_aux_v is not None:
+            losses_aux.append(float(loss_aux_v))
         pred = np.asarray(pred, np.float32)
         gt = np.asarray(gt)
         for i, n_seg in enumerate(aux.n_segments):
@@ -221,6 +227,12 @@ def validate(
         per_sample = merged
 
     results: dict = {"loss": float(np.mean(losses)) if losses else None}
+    # Loss decomposition (total = loss_c + λ·loss_aux) — diagnostic only,
+    # local-process means; absent when the model skipped loss computation.
+    if losses_c:
+        results["loss_c"] = float(np.mean(losses_c))
+    if losses_aux:
+        results["loss_aux"] = float(np.mean(losses_aux))
     if pred_gt_pairs:
         # Token-level accuracy (pipeline/criteria.py:12-21) and the per-class
         # TP/TN/FP/FN dict (criteria.py:55-95) the reference's token eval

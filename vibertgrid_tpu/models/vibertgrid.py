@@ -77,6 +77,10 @@ class ModelOutput:
     pred_ss: Any           # [B, H, W, C] seg class logits or None
     gt_label: jax.Array    # [B, S]
     pred_label: jax.Array  # [B, S, C] probabilities, or [B, S] crf tags
+    # Loss decomposition (diagnostics; None when compute_loss=False):
+    # total_loss = loss_c + λ·loss_aux (ref ViBERTgrid_net.py:539).
+    loss_c: Any = None     # field-type classification loss
+    loss_aux: Any = None   # auxiliary segmentation loss (pre-λ)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -373,4 +377,6 @@ class ViBERTgridNet(nn.Module):
             pred_ss=pred_ss,
             gt_label=gt_label,
             pred_label=pred_label,
+            loss_c=loss_c if compute_loss else None,
+            loss_aux=loss_aux if compute_loss else None,
         )

@@ -447,14 +447,21 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         )
         logger.update(head="loss", step=epoch + 1, train_loss=mean_loss)
 
-        results = run_validate()
-        f1 = results["primary_F1"]
-        logger.update(head="criteria", step=epoch + 1, label_F1=f1)
-        best_f1 = max(best_f1, f1)
-        best_learned_types = max(best_learned_types, _learned_types(results))
-        saved = ckpt.maybe_save(state, epoch, f1)
-        if saved:
-            print(f"==> checkpoint saved: {saved}")
+        # Long convergence runs stride validation (each validate costs a
+        # compile-cached forward sweep + tunnel fetches); always validate
+        # the final epoch so `results` reflects the finished model.
+        val_interval = max(int(hyp.get("val_epoch_interval", 1)), 1)
+        if (epoch + 1) % val_interval == 0 or epoch + 1 == end_epoch:
+            results = run_validate()
+            f1 = results["primary_F1"]
+            logger.update(head="criteria", step=epoch + 1, label_F1=f1)
+            best_f1 = max(best_f1, f1)
+            best_learned_types = max(
+                best_learned_types, _learned_types(results)
+            )
+            saved = ckpt.maybe_save(state, epoch, f1)
+            if saved:
+                print(f"==> checkpoint saved: {saved}")
         if max_steps and steps_done >= max_steps:
             break
 
