@@ -294,3 +294,73 @@ def test_eval_cli_evaluate_smoke(tmp_path):
     assert "primary_F1" in results and np.isfinite(results["primary_F1"])
     import os as _os
     assert _os.path.exists(_os.path.join(hyp["result_dir"], "smoke.json"))
+
+
+def test_full_head_standalone_learnability():
+    """The two-stage head trained standalone on separable features:
+
+    - under the paper-intent ``decision="gated"`` rule it classifies
+      (argmax accuracy ≥ 0.95);
+    - under the reference's ``decision="reference"`` rule the SAME
+      training run collapses to all-background once the gate and class
+      sigmoids saturate to 1.0f and the argmax tie breaks to index 0
+      (ref field_type_classification_head.py:376-381 +
+      train_val_utils.py:446-447) — the documented reason full-head
+      convergence is qualified with the gated rule
+      (tools/convergence_run.py --config full).
+    """
+    import optax
+
+    from vibertgrid_tpu.models.heads import FieldTypeClassification
+
+    C, N, D = 5, 256, 32
+    rng = np.random.default_rng(0)
+    protos = rng.standard_normal((C, D)).astype(np.float32) * 2.0
+    labels = rng.integers(0, C, N).astype(np.int32)
+    feats = protos[labels] + 0.1 * rng.standard_normal((N, D)).astype(
+        np.float32
+    )
+    valid = np.ones(N, bool)
+
+    def train_head(decision):
+        head = FieldTypeClassification(
+            num_classes=C, layer_mode="single",
+            num_hard_positive_1=8, num_hard_negative_1=8,
+            num_hard_positive_2=8, num_hard_negative_2=8,
+            decision=decision,
+        )
+        key = jax.random.PRNGKey(0)
+        params = head.init(
+            key, feats, labels, valid, train=True, compute_loss=True, key=key
+        )
+        tx = optax.sgd(0.5, momentum=0.9)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, k):
+            def loss_fn(p):
+                loss, _, _ = head.apply(
+                    p, feats, labels, valid,
+                    train=True, compute_loss=True, key=k,
+                )
+                return loss
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), opt, loss
+
+        for _ in range(200):
+            key, k = jax.random.split(key)
+            params, opt, _ = step(params, opt, k)
+        _, _, pred = head.apply(
+            params, feats, labels, valid,
+            train=False, compute_loss=False, key=key,
+        )
+        return float((np.asarray(pred).argmax(-1) == labels).mean())
+
+    acc_gated = train_head("gated")
+    acc_ref = train_head("reference")
+    background_share = float((labels == 0).mean())
+    assert acc_gated >= 0.95, acc_gated
+    # the reference rule's saturation collapse: all predictions background
+    assert acc_ref <= background_share + 0.05, acc_ref

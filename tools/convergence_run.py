@@ -141,6 +141,14 @@ def main():
             tokenizer_path=f"{root}/vocab.txt",
             classifier_mode="full",
             tag_mode="B",
+            # The reference decision rule returns background whenever the
+            # gate's sigmoid ≥ the true class's — on this saturating
+            # synthetic task that pins F1 to 0 no matter how well the head
+            # trains (tests/test_model.py::test_full_head_standalone_
+            # learnability). Qualify learnability with the paper-intent
+            # gated rule; reference parity is covered by the forward-parity
+            # tests (default full_head_decision stays "reference").
+            full_head_decision="gated",
         )
     else:
         hyp.update(

@@ -91,7 +91,23 @@ class LateFusion(nn.Module):
 
 
 class FieldTypeClassification(nn.Module):
-    """Two-stage head: pos/neg gate + per-class binary classifiers."""
+    """Two-stage head: pos/neg gate + per-class binary classifiers.
+
+    ``decision`` picks the eval-time class-score layout:
+
+    - ``"reference"`` (default, metric parity): ``class_pred[:, 0] =
+      sigmoid(gate)`` exactly as the reference (:376-381) — note this
+      makes the downstream argmax (train_val_utils.py:446-447) return
+      BACKGROUND whenever the gate's confidence ≥ the true class's
+      sigmoid. Once both saturate to 1.0f the tie breaks to index 0, so
+      a PERFECTLY trained head scores F1 = 0 on a saturating task
+      (tests/test_model.py::test_full_head_standalone_learnability pins
+      this); on sub-saturated real data the rule merely suppresses
+      predictions whose class confidence trails the gate's.
+    - ``"gated"`` (the paper's intent): the gate alone decides pos/neg
+      (``class_pred[:, 0] = 1 - sigmoid(gate)``), and the per-class
+      sigmoids compete only among themselves for positives.
+    """
 
     num_classes: int
     layer_mode: str = "single"
@@ -100,6 +116,7 @@ class FieldTypeClassification(nn.Module):
     num_hard_positive_2: int = -1
     num_hard_negative_2: int = -1
     ohem_random: bool = False
+    decision: str = "reference"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,10 +141,15 @@ class FieldTypeClassification(nn.Module):
             c - 1, self.layer_mode, self.dtype, name="category_net"
         )(fuse_embeddings)  # [N, C-1]
 
-        pred_pos = jax.nn.sigmoid(pos_neg_logit.astype(jnp.float32)) >= 0.5
+        gate_sig = jax.nn.sigmoid(pos_neg_logit.astype(jnp.float32))
+        pred_pos = gate_sig >= 0.5
+        # Background score column: the reference rule reuses the gate's
+        # POSITIVE probability (quirk, see class docstring); the gated rule
+        # uses its complement so the argmax honors the gate's own decision.
+        col0 = gate_sig if self.decision == "reference" else 1.0 - gate_sig
         class_pred = jnp.concatenate(
             [
-                jax.nn.sigmoid(pos_neg_logit.astype(jnp.float32))[:, None],
+                col0[:, None],
                 jnp.where(
                     pred_pos[:, None],
                     jax.nn.sigmoid(class_logits.astype(jnp.float32)),

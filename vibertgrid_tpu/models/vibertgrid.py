@@ -99,6 +99,10 @@ class ModelConfig:
     classifier_mode: str = "simp"              # 'full' | 'simp' | 'crf'
     tag_to_idx: Any = None                     # dict for crf / BIO modes
     layer_mode: str = "single"                 # 'single' | 'multi'
+    # full-head eval decision rule: 'reference' (metric parity; argmax can
+    # return background on gate-vs-class saturation ties) or 'gated' (the
+    # paper's intent) — see models/heads.py FieldTypeClassification.
+    full_head_decision: str = "reference"
     add_pos_neg: bool = True
     loss_weights: Any = None
     loss_control_lambda: float = 1.0
@@ -183,6 +187,7 @@ class ModelConfig:
             classifier_mode=hyp.get("classifier_mode", "simp"),
             tag_to_idx=hyp.get("tag_to_idx"),
             layer_mode=hyp.get("layer_mode", "single"),
+            full_head_decision=hyp.get("full_head_decision", "reference"),
             add_pos_neg=hyp.get("add_pos_neg", True),
             loss_weights=hyp.get("loss_weights"),
             loss_control_lambda=hyp.get("loss_control_lambda", 1.0),
@@ -357,6 +362,8 @@ class ViBERTgridNet(nn.Module):
                 kw.update(
                     add_pos_neg=cfg.add_pos_neg, loss_weights=cfg.loss_weights
                 )
+            else:
+                kw.update(decision=cfg.full_head_decision)
             loss_c, gt, pred = head_cls(name="field_type_head", **kw)(
                 fuse,
                 classes_flat,
