@@ -167,3 +167,56 @@ def test_make_optimizer_split_routes_bert_to_adam():
                                sgd_expect, rtol=1e-4)
     adam_mag = float(np.abs(np.asarray(upd["bert_model"]["w"])).max())
     assert 0.5e-3 < adam_mag < 1.5e-3
+
+
+def test_step_schedule_matches_torch_steplr_recurring():
+    """The default lr schedule is the reference's LIVE one: torch
+    StepLR(step_size=15, gamma=0.1) stepped once per epoch
+    (train_SROIE.py:248-250 + train_val_utils.py:338) — a RECURRING
+    x0.1 decay every 15 epochs. Oracle: the live torch scheduler."""
+    import torch
+
+    num_epochs, niter = 50, 7
+    _, sched = make_optimizer(
+        HYP, num_epochs=num_epochs, niter_per_ep=niter, return_schedules=True
+    )
+    lr = sched["lr_cnn"]
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=HYP["optimizer_cnn_hyp"]["learning_rate"])
+    steplr = torch.optim.lr_scheduler.StepLR(opt, step_size=15, gamma=0.1)
+    for epoch in range(num_epochs):
+        torch_lr = opt.param_groups[0]["lr"]
+        # our per-iteration index: epoch*niter + step (matches the
+        # reference's iter_; the arrays carry a spare niter+1 tail quirk)
+        for it in (0, niter - 1):
+            np.testing.assert_allclose(
+                lr[epoch * niter + it], torch_lr, rtol=1e-12,
+                err_msg=f"epoch {epoch}",
+            )
+        opt.step()
+        steplr.step()
+
+
+def test_lr_steps_override_is_multisteplr():
+    """Explicit `lr_steps` boundaries behave like torch MultiStepLR
+    (successive gamma at each milestone) — the long-qualification-run
+    override documented in make_optimizer."""
+    import torch
+
+    hyp = dict(HYP, lr_steps=[5, 20], lr_gamma=0.5)
+    num_epochs, niter = 30, 3
+    _, sched = make_optimizer(
+        hyp, num_epochs=num_epochs, niter_per_ep=niter, return_schedules=True
+    )
+    lr = sched["lr_bert"]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=HYP["optimizer_bert_hyp"]["learning_rate"])
+    ms = torch.optim.lr_scheduler.MultiStepLR(opt, milestones=[5, 20], gamma=0.5)
+    for epoch in range(num_epochs):
+        np.testing.assert_allclose(
+            lr[epoch * niter], opt.param_groups[0]["lr"], rtol=1e-12,
+            err_msg=f"epoch {epoch}",
+        )
+        opt.step()
+        ms.step()

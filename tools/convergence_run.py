@@ -111,6 +111,11 @@ def main():
         "weights": "",
         "save_top": os.path.join(tmp, "weights"),
         "save_log": os.path.join(tmp, "log"),
+        # Qualification runs measure LEARNABILITY, so hold the lr instead
+        # of the reference-default recurring StepLR(15, 0.1) (which would
+        # starve any run past ~30 epochs to lr*1e-2 and below): one x0.1
+        # decay at 75% of the run.
+        "lr_steps": [max(1, int(args.epochs * 0.75))],
         # Stable recipe (2026-08-19 recalibration — see module docstring):
         # cnn lr 1e-3 + 3-epoch warmup. lr 5e-3 w/o warmup is knife-edge
         # (collapses in the current chip environment at ANY code version).

@@ -173,8 +173,22 @@ def make_optimizer(
     sd_name = hyp.get("optimizer_state_dtype", "bfloat16")
     state_dtype = None if sd_name in ("float32", "fp32") else jnp.dtype(sd_name)
 
+    # The reference's LIVE schedule is torch StepLR(step_size=15, gamma=0.1)
+    # stepped once per epoch (train_SROIE.py:248-250, train_val_utils.py:338)
+    # — a RECURRING x0.1 decay every 15 epochs, not a single milestone.
+    # `lr_steps` (explicit boundary list, MultiStepLR-style) or
+    # `lr_step_size`/`lr_gamma` override it for long qualification runs.
+    gamma = float(hyp.get("lr_gamma", 0.1))
+    if hyp.get("lr_steps") is not None:
+        milestones = [int(s) for s in hyp["lr_steps"]]
+    else:
+        step_size = int(hyp.get("lr_step_size", 15))
+        milestones = list(range(step_size, num_epochs, step_size)) or [
+            num_epochs
+        ]
+
     lr_cnn = step_scheduler(
-        base_value=cnn["learning_rate"], steps=[15], gamma=0.1,
+        base_value=cnn["learning_rate"], steps=milestones, gamma=gamma,
         num_epoches=num_epochs, niter_per_ep=niter_per_ep,
         warmup_epoches=cnn.get("warm_up_epoches", 0),
         start_warmup_value=cnn.get("warm_up_init_lr", 0.0),
@@ -184,7 +198,7 @@ def make_optimizer(
         epoches=num_epochs, niter_per_ep=niter_per_ep,
     )
     lr_bert = step_scheduler(
-        base_value=bert["learning_rate"], steps=[15], gamma=0.1,
+        base_value=bert["learning_rate"], steps=milestones, gamma=gamma,
         num_epoches=num_epochs, niter_per_ep=niter_per_ep,
         warmup_epoches=bert.get("warm_up_epoches", 0),
         start_warmup_value=bert.get("warm_up_init_lr", 0.0),
