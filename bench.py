@@ -203,13 +203,25 @@ def main(train_only: bool = False):
             return jnp.mean(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
-    float(bench_loop(variables, batch))  # compile + warm
-    t0 = time.perf_counter()
-    float(bench_loop(variables, batch))
-    dt = time.perf_counter() - t0
+    def measure(bench_batch):
+        float(bench_loop(variables, bench_batch))  # compile + warm
+        t0 = time.perf_counter()
+        float(bench_loop(variables, bench_batch))
+        # one RTT for the scalar fetch is amortized over ITERS batches
+        return bench_batch.images.shape[0] * ITERS / (time.perf_counter() - t0)
 
-    # one RTT for the scalar fetch is amortized over ITERS batches
-    docs_per_sec = B * ITERS / dt
+    docs_per_sec = measure(batch)
+
+    # 2-window row: real SROIE receipts overflow 510 tokens; the windowed
+    # path folds extra windows into the encoder's batch axis (ops/windows.py,
+    # SURVEY §5.7). Same params (position table is per-window), t=1020.
+    # VERDICT r4 ask #8.
+    try:
+        batch_2win = _make_batch(b=B, h=H, w=W, t=2 * T, s=S, vocab=30522)
+        docs_per_sec_2win = round(measure(batch_2win), 2)
+    except Exception as e:  # never lose the headline over the extra row
+        print(f"bench: 2-window row failed: {e!r}", file=sys.stderr)
+        docs_per_sec_2win = None
 
     # per-doc FLOPs from XLA cost analysis of the single forward: input to
     # the grounded baseline's device-compute component.
@@ -233,6 +245,7 @@ def main(train_only: bool = False):
         "value": round(docs_per_sec, 2),
         "unit": "docs/sec/chip",
         "vs_baseline": None,
+        "value_2win": docs_per_sec_2win,
     }
     if flops_per_doc > 0:
         baseline, derivation = _grounded_baseline(flops_per_doc)
@@ -250,8 +263,12 @@ def main(train_only: bool = False):
             train_docs_per_sec=round(train_docs_s, 2),
             train_ms_per_batch=round(train_ms * 1e3, 2),
         )
-    except Exception:
-        pass  # the headline forward measurement is already in hand
+    except Exception as e:
+        # The headline forward measurement is already in hand — but a round
+        # with no train number must be VISIBLE in the recorded JSON, not a
+        # silently missing key (VERDICT r4 weak #7).
+        print(f"bench: train-step measurement failed: {e!r}", file=sys.stderr)
+        result.update(train_docs_per_sec=None, train_ms_per_batch=None)
 
     print(json.dumps(result))
 

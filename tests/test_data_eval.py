@@ -91,6 +91,34 @@ class TestDataset:
         s = ds[0]
         assert s.key_dict is not None and "company" in s.key_dict
 
+    def test_bio_root_covers_all_entity_types(self, tmp_path):
+        """A tag_scheme='BIO' root must decode (via the BIO tag table) to
+        well-formed runs covering EVERY non-background class.
+
+        Regression for the r4 CRF "regression": the roberta convergence
+        config evaluated a tag_mode='BIO' model against a root whose
+        data_class held plain CLASS ids, silently relabeling date→I-company
+        and address/total→B-/I-date — the per-type report then structurally
+        showed only 2 entity types (logs/requalify/r4_conv_roberta.log)."""
+        root = str(tmp_path / "bio")
+        make_synthetic_root(root, n_train=2, n_test=2, seed=3, tag_scheme="BIO")
+        spec = synthetic_spec()
+        tag_to_idx = spec.tag_to_idx("BIO")
+        idx_to_tag = {v: k for k, v in tag_to_idx.items()}
+        tokenizer = make_test_tokenizer(root)
+        seen = set()
+        for split in ("train", "test"):
+            ds = KIEDataset(f"{root}/{split}", spec, tokenizer, train=split == "train")
+            for i in range(len(ds)):
+                tags = [idx_to_tag[int(c)] for c in ds[i].seg_classes]
+                for typ, start, end in get_entities(tags):
+                    seen.add(typ)
+                # every I- continues a same-type B-/I- (well-formed IOB2)
+                for prev, cur in zip(["O"] + tags, tags):
+                    if cur.startswith("I-"):
+                        assert prev in (f"B-{cur[2:]}", cur), (prev, cur)
+        assert seen == set(spec.class_list[1:]), seen
+
 
 class TestSeqevalLite:
     def test_entities_bio(self):

@@ -214,6 +214,32 @@ def test_uint8_upload_matches_fp32(tmp_path_factory):
         [60, 40, 100, 54],
         [10, 80, 120, 94],
     ]
-    r_u8 = eng_u8.predict(image, texts, boxes)
-    r_f32 = eng_f32.predict(image, texts, boxes)
-    assert r_u8 == r_f32
+
+    # Compare the raw per-segment probabilities with a tolerance first: the
+    # ≤0.5/255 wire quantization legitimately perturbs the logits a little,
+    # and a borderline argmax flip would otherwise make exact field equality
+    # flaky rather than diagnostic (ADVICE r4 #4). A real wire bug (wrong
+    # normalization, padding not re-zeroed) produces O(1) deltas.
+    def _probs(eng):
+        sample = eng._make_sample(image, texts, np.asarray(boxes))
+        batch, aux = eng.collator([sample], train=False)
+        sizes = np.asarray(aux.image_sizes, np.int32)
+        logits = np.asarray(
+            eng._infer(eng._variables(), batch, sizes), np.float32
+        )[0, : aux.n_segments[0]]
+        z = logits - logits.max(-1, keepdims=True)
+        return np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+
+    p_u8, p_f32 = _probs(eng_u8), _probs(eng_f32)
+    delta = float(np.abs(p_u8 - p_f32).max())
+    assert delta < 0.05, f"uint8 wire perturbs probabilities by {delta}"
+
+    # Field equality is only asserted when every segment's top-2 margin
+    # exceeds the measured quantization perturbation — i.e. no argmax can
+    # have flipped for a legitimate reason.
+    top2 = np.sort(p_f32, axis=-1)[:, -2:]
+    margin = float((top2[:, 1] - top2[:, 0]).min())
+    if margin > 2 * delta:
+        r_u8 = eng_u8.predict(image, texts, boxes)
+        r_f32 = eng_f32.predict(image, texts, boxes)
+        assert r_u8 == r_f32

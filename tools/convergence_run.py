@@ -79,7 +79,15 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="converge_")
     root = os.path.join(tmp, "data")
-    make_synthetic_root(root, n_train=args.n_train, n_test=args.n_test, seed=0)
+    # BIO roots carry BIO *tag ids* in data_class (the reference's
+    # preprocessing contract — see make_synthetic_root's docstring). The
+    # roberta/CRF config evaluates under tag_mode="BIO"; feeding it the
+    # plain-class-id "B" root is the label-space bug behind the r4 CRF
+    # report only ever showing 2 entity types (r4_conv_roberta.log).
+    make_synthetic_root(
+        root, n_train=args.n_train, n_test=args.n_test, seed=0,
+        tag_scheme="BIO" if args.config == "roberta" else "B",
+    )
 
     hyp = {
         "comment": f"convergence-{args.config}",

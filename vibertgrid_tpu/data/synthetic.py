@@ -84,6 +84,7 @@ def make_synthetic_root(
     seed: int = 0,
     words_range: tuple = (1, 3),
     segs_range: tuple = (1, 3),
+    tag_scheme: str = "B",
 ) -> str:
     """Create train/ and test/ splits under ``path``; returns ``path``.
 
@@ -93,7 +94,22 @@ def make_synthetic_root(
     produces multi-thousand-token documents that exercise the unbounded
     sliding-window path (≥4 510-token windows) end to end — the reference
     semantics at ``model/BERTgrid_generator.py:81-146``.
+
+    ``tag_scheme``: what the CSV ``data_class`` column encodes. ``"B"``
+    (default) writes plain class ids — the SROIE layout, where class id ==
+    B-tag id. ``"BIO"`` writes BIO *tag ids* per ``spec._bio_tags`` ordering
+    (B-c = 2c-1, I-c = 2c; first segment of each entity run gets B-, the
+    rest I-). This mirrors the reference's contract: BIO conversion happens
+    at PREPROCESSING time and the dataset reads ``data_class`` raw as tag
+    ids (``pipeline/ephoie_data_preprocessing.py:234-399`` writes tag ids;
+    ``data/EPHOIE_dataset.py:141`` consumes them verbatim). Feeding a
+    ``"B"``-scheme root to a ``tag_mode="BIO"`` model silently relabels
+    classes into the wrong half of the tag table (class 2 reads as
+    I-company, 3 as B-date, 4 as I-date) — consistent between GT and
+    predictions, hence still learnable, but the per-type report then
+    structurally caps at 2 visible entity types (the r4 CRF "regression").
     """
+    assert tag_scheme in ("B", "BIO"), tag_scheme
     rng = np.random.default_rng(seed)
     class_names = ["others", "company", "date", "address", "total"][:n_classes]
 
@@ -116,7 +132,7 @@ def make_synthetic_root(
                 n_seg = int(rng.integers(*segs_range))
                 texts = []
                 x = int(rng.integers(5, 30))
-                for _ in range(n_seg):
+                for seg_i in range(n_seg):
                     words = [
                         str(rng.choice(CLASS_WORDS[int(cls)]))
                         for _ in range(int(rng.integers(*words_range)))
@@ -131,7 +147,12 @@ def make_synthetic_root(
                     x1, y1 = min(x + bw, w - 1), min(y + bh, h - 1)
                     shade = 0.15 + 0.15 * int(cls)
                     img[y0:y1, x0:x1] = shade
-                    rows.append((x0, y0, x1, y1, text, int(cls)))
+                    if tag_scheme == "BIO" and cls > 0:
+                        # first segment of the run is B-, the rest I-
+                        label = 2 * int(cls) - (1 if seg_i == 0 else 0)
+                    else:
+                        label = int(cls)
+                    rows.append((x0, y0, x1, y1, text, label, int(cls)))
                     x = x1 + 6
                     if x > w - 30:
                         x = int(rng.integers(5, 20))
@@ -145,9 +166,10 @@ def make_synthetic_root(
             np.save(os.path.join(sroot, "image", name + ".npy"), img)
             with open(os.path.join(sroot, "label", name + ".csv"), "w") as f:
                 f.write("left,top,right,bot,text,data_class,pos_neg\n")
-                for x0, y0, x1, y1, text, cls in rows:
+                for x0, y0, x1, y1, text, label, cls in rows:
+                    # pos_neg keys off the CLASS, not the tag id
                     pn = 1 if cls > 0 else 2
-                    f.write(f"{x0},{y0},{x1},{y1},{text},{cls},{pn}\n")
+                    f.write(f"{x0},{y0},{x1},{y1},{text},{label},{pn}\n")
             with open(os.path.join(sroot, "key", name + ".json"), "w") as f:
                 json.dump(key_dict, f)
     write_vocab(path)

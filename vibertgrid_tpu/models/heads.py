@@ -104,9 +104,13 @@ class FieldTypeClassification(nn.Module):
       (tests/test_model.py::test_full_head_standalone_learnability pins
       this); on sub-saturated real data the rule merely suppresses
       predictions whose class confidence trails the gate's.
-    - ``"gated"`` (the paper's intent): the gate alone decides pos/neg
-      (``class_pred[:, 0] = 1 - sigmoid(gate)``), and the per-class
-      sigmoids compete only among themselves for positives.
+    - ``"gated"`` (the paper's intent): the background column is the
+      gate's NEGATIVE probability (``class_pred[:, 0] = 1 - sigmoid(gate)``),
+      which BIASES the argmax toward the gate's own pos/neg decision
+      rather than strictly enforcing it: a segment with gate 0.55 still
+      maps to background if every class sigmoid < 0.45. Unlike
+      ``"reference"``, a jointly saturated head (gate → 1, true class → 1)
+      decodes the true class instead of background (ADVICE r4 #2).
     """
 
     num_classes: int

@@ -451,7 +451,11 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         # compile-cached forward sweep + tunnel fetches); always validate
         # the final epoch so `results` reflects the finished model.
         val_interval = max(int(hyp.get("val_epoch_interval", 1)), 1)
-        if (epoch + 1) % val_interval == 0 or epoch + 1 == end_epoch:
+        stopping = bool(max_steps and steps_done >= max_steps)
+        # A max_steps stop mid-stride must still validate: otherwise
+        # `results` would be stale (an earlier epoch's metrics returned
+        # against the final `final_state`) — ADVICE r4 #1.
+        if (epoch + 1) % val_interval == 0 or epoch + 1 == end_epoch or stopping:
             results = run_validate()
             f1 = results["primary_F1"]
             logger.update(head="criteria", step=epoch + 1, label_F1=f1)
@@ -462,7 +466,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
             saved = ckpt.maybe_save(state, epoch, f1)
             if saved:
                 print(f"==> checkpoint saved: {saved}")
-        if max_steps and steps_done >= max_steps:
+        if stopping:
             break
 
     logger.close()  # the TB writer owns a background thread; don't leak it
