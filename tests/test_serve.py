@@ -243,3 +243,29 @@ def test_uint8_upload_matches_fp32(tmp_path_factory):
         r_u8 = eng_u8.predict(image, texts, boxes)
         r_f32 = eng_f32.predict(image, texts, boxes)
         assert r_u8 == r_f32
+
+
+def test_predict_stream_matches_predict_many(engine):
+    """The pipelined path (dispatch k+1 before fetching k) returns exactly
+    the per-request results of the serial micro-batched path, including
+    empty-OCR rows interleaved at any position."""
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(5):
+        image = np.full((200, 160, 3), 0.95, np.float32)
+        image[20:60, 10:100] = rng.uniform(0.2, 0.8)
+        if i == 2:  # empty-OCR request mid-stream
+            reqs.append((image, [], np.zeros((0, 4), np.int32)))
+        else:
+            reqs.append(
+                (
+                    image,
+                    ["company corp", "total", f"{i}2.50"],
+                    [[10, 10, 90, 24], [10, 40, 50, 54], [60, 40, 100, 54]],
+                )
+            )
+    serial = []
+    for i in range(0, len(reqs), 2):
+        serial.extend(engine.predict_many(reqs[i : i + 2]))
+    streamed = engine.predict_stream(reqs, batch_size=2, depth=2)
+    assert streamed == serial

@@ -87,6 +87,19 @@ def main():
             print(f"predict_many bs{bs:2d}: {dt * 1e3:7.1f} ms/batch "
                   f"({bs / dt:.1f} docs/s)")
 
+        # Pipelined path: batch k+1's collate+upload+dispatch overlaps batch
+        # k's device compute + fetch (engine.predict_stream, depth 2). On an
+        # upload-bound link this is the lever — the chip works while bytes
+        # move (VERDICT r4 ask #4).
+        stream_reqs = [(image, texts, boxes)] * 80
+        engine.predict_stream(stream_reqs[:32], batch_size=16)  # warm
+        t0 = time.perf_counter()
+        engine.predict_stream(stream_reqs, batch_size=16, depth=2)
+        dt = time.perf_counter() - t0
+        print(f"predict_stream bs16 depth2: {len(stream_reqs) / dt:.1f} docs/s "
+              f"({dt / len(stream_reqs) * 1e3:.1f} ms/doc over "
+              f"{len(stream_reqs)} docs)")
+
         # Decomposition: host collate / H2D upload / device forward+fetch.
         # Through the sandbox tunnel the link (~77 MB/s up, ~29 ms/fetch)
         # dominates; on a local TPU host (PCIe) the upload leg shrinks by

@@ -224,20 +224,18 @@ class InferenceEngine:
         """image [H,W,3] float in [0,1] + OCR segments → {field: value}."""
         return self.predict_many([(image, texts, boxes)])[0]
 
-    def predict_many(self, requests: list[tuple]) -> list[dict]:
-        """Micro-batched inference: N (image, texts, boxes) requests in one
-        device call (the batch pads to the shared bucket signature). The
-        reference's deployment runs strictly one document per forward
-        (deployment/inference_SROIE.py:160-181); batching multiplies
-        single-stream serving throughput at equal latency bounds."""
+    def _dispatch(self, requests: list[tuple]):
+        """Collate one micro-batch and ENQUEUE the device call without
+        fetching: JAX dispatch is asynchronous, so the returned device
+        array is a future the device fills while the host moves on.
+        Pipelining lever for :meth:`predict_stream`."""
         samples = [
             self._make_sample(img, txt, np.asarray(bx))
             for img, txt, bx in requests
         ]
         keep = [i for i, s in enumerate(samples) if len(s.texts)]
-        results: list[dict] = [self._empty_result() for _ in samples]
         if not keep:
-            return results
+            return None, None, samples, keep
         batch, aux = self.collator([samples[i] for i in keep], train=False)
         sizes = np.asarray(aux.image_sizes, np.int32)
         # Bucket the batch axis too (next power of two): every other axis is
@@ -257,10 +255,29 @@ class InferenceEngine:
             sizes = np.concatenate(
                 [sizes] + [sizes[-1:]] * (n_bucket - n_real), axis=0
             )
+        pred_dev = self._infer(self._variables(), batch, sizes)
+        return pred_dev, aux, samples, keep
+
+    def _finish(self, pred_dev, aux, samples, keep) -> list[dict]:
+        """Fetch a dispatched micro-batch (blocking D2H) and postprocess."""
+        results: list[dict] = [self._empty_result() for _ in samples]
+        if not keep:
+            return results
+        pred = np.asarray(pred_dev, np.float32)
+        for row, i in enumerate(keep):
+            results[i] = self._postprocess(
+                pred[row], aux.n_segments[row], samples[i].texts
+            )
+        return results
+
+    def predict_many(self, requests: list[tuple]) -> list[dict]:
+        """Micro-batched inference: N (image, texts, boxes) requests in one
+        device call (the batch pads to the shared bucket signature). The
+        reference's deployment runs strictly one document per forward
+        (deployment/inference_SROIE.py:160-181); batching multiplies
+        single-stream serving throughput at equal latency bounds."""
         t0 = time.time()
-        pred = np.asarray(
-            self._infer(self._variables(), batch, sizes), np.float32
-        )
+        out = self._finish(*self._dispatch(requests))
         if self.log_timing:
             # The reference prints this per request unconditionally
             # (deployment/inference_SROIE.py:172-176); here it is opt-in —
@@ -268,13 +285,32 @@ class InferenceEngine:
             # for a production server (VERDICT r4 weak #2).
             print(
                 f"Model Inference Time {time.time() - t0:.3f}s "
-                f"({len(keep)} docs)"
+                f"({len(requests)} docs)"
             )
-        for row, i in enumerate(keep):
-            results[i] = self._postprocess(
-                pred[row], aux.n_segments[row], samples[i].texts
-            )
-        return results
+        return out
+
+    def predict_stream(
+        self, requests: list[tuple], batch_size: int = 16, depth: int = 2
+    ) -> list[dict]:
+        """Throughput-oriented pipelined inference over a request list:
+        micro-batch k+1's host collate + H2D upload + device dispatch all
+        overlap micro-batch k's device compute and D2H fetch (double
+        buffering; ``depth`` bounds in-flight batches so host memory and
+        device queue stay bounded). The reference's serving loop is fully
+        serial per document (deployment/inference_SROIE.py:160-181); on an
+        upload-bound link this overlap is worth more than any wire
+        compression because the device works while bytes move."""
+        from collections import deque
+
+        out: list[dict] = []
+        pending: deque = deque()
+        for i in range(0, len(requests), batch_size):
+            pending.append(self._dispatch(requests[i : i + batch_size]))
+            if len(pending) >= depth:
+                out.extend(self._finish(*pending.popleft()))
+        while pending:
+            out.extend(self._finish(*pending.popleft()))
+        return out
 
     def extract_request(self, image_bytes: bytes):
         """OCR + image decode → (image, texts, boxes), or None on OCR error.

@@ -361,7 +361,11 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
     def _learned_types(res: dict) -> int:
         return sum(1 for v in res.get("per_type_F1", {}).values() if v > 0)
 
-    results = run_validate()  # initial validate (train_SROIE.py:324-335)
+    # Initial validate of the untrained model (train_SROIE.py:324-335).
+    # Label it: in block-buffered logs this is otherwise indistinguishable
+    # from an epoch validate (it bit a log reading on 2026-08-20).
+    print(f"== validate (initial, epoch {start_epoch})")
+    results = run_validate()
     best_f1 = results["primary_F1"]
     best_learned_types = _learned_types(results)
 
@@ -456,6 +460,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         # `results` would be stale (an earlier epoch's metrics returned
         # against the final `final_state`) — ADVICE r4 #1.
         if (epoch + 1) % val_interval == 0 or epoch + 1 == end_epoch or stopping:
+            print(f"== validate (epoch {epoch + 1})")
             results = run_validate()
             f1 = results["primary_F1"]
             logger.update(head="criteria", step=epoch + 1, label_F1=f1)
