@@ -420,6 +420,71 @@ class TestBucketedEvalLoader:
         for name in r1["per_sample"]:
             assert rb["per_sample"][name]["pred"] == r1["per_sample"][name]["pred"]
 
+    def test_uint8_eval_wire_matches_fp32(self, synth):
+        """The uint8 eval wire (Collator(emit_uint8=True) +
+        make_eval_step(image_stats=...), 4× fewer H2D bytes — the serving
+        wire reused for validation) must reproduce the fp32 path's
+        predictions up to the ≤0.5/255 input quantization: near-identical
+        probabilities, metrics within tolerance (exact-equality would be
+        flaky for borderline argmaxes, ADVICE r4 #4)."""
+        import jax
+
+        from tests.test_model import tiny_config
+        from vibertgrid_tpu.data.dataset import bucketed_eval_loader
+        from vibertgrid_tpu.eval.harness import validate
+        from vibertgrid_tpu.models import ViBERTgridNet
+        from vibertgrid_tpu.train.state import create_train_state, make_eval_step
+
+        root, tokenizer = synth
+        spec = synthetic_spec()
+        ds = KIEDataset(f"{root}/test", spec, tokenizer, train=False)
+        tr = ImageTransform(spec.image_mean, spec.image_std, [256], 256, 400)
+        coll = Collator(tr)
+        coll_u8 = Collator(tr, emit_uint8=True)
+
+        import optax
+
+        model = ViBERTgridNet(tiny_config())
+        batch0, _ = next(iter(data_loader(ds, coll, 1, train=False)))
+        state = create_train_state(model, optax.sgd(1e-3), batch0, seed=0)
+        eval_step = make_eval_step(model)
+        eval_u8 = make_eval_step(
+            model, image_stats=(spec.image_mean, spec.image_std)
+        )
+
+        # per-batch probabilities: same bucket order for both collators
+        # (shapes are identical, only the image dtype differs)
+        b32 = list(bucketed_eval_loader(ds, coll, 4))
+        bu8 = list(bucketed_eval_loader(ds, coll_u8, 4))
+        assert len(b32) == len(bu8)
+        (batch32, aux32), (batch8, aux8) = b32[0], bu8[0]
+        assert batch8.images.dtype == np.uint8
+        p32 = np.asarray(eval_step(state, batch32).pred_label, np.float32)
+        p8 = np.asarray(
+            eval_u8(
+                state, batch8, np.asarray(aux8.image_sizes, np.int32)
+            ).pred_label,
+            np.float32,
+        )
+        assert float(np.abs(p32 - p8).max()) < 0.05
+
+        kw = dict(
+            eval_mode="seq_and_str",
+            tag_to_idx=spec.tag_to_idx("B"),
+            verbose=False,
+        )
+        r32 = validate(
+            eval_step, state, bucketed_eval_loader(ds, coll, 4), spec, **kw
+        )
+        ru8 = validate(
+            eval_u8, state, bucketed_eval_loader(ds, coll_u8, 4), spec, **kw
+        )
+        for k in (
+            "precision", "recall", "F1", "token_F1", "token_accuracy",
+            "primary_F1",
+        ):
+            assert ru8[k] == pytest.approx(r32[k], abs=0.05), k
+
     def test_groups_and_padding(self, synth):
         from vibertgrid_tpu.data.dataset import bucketed_eval_loader
 

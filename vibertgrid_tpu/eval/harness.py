@@ -123,7 +123,15 @@ def validate(
     per_sample = {}
 
     for batch, aux in loader:
-        out = eval_step(state, batch)
+        if batch.images.dtype == np.uint8:
+            # uint8 wire format (4× fewer H2D bytes): the step normalizes
+            # in-graph and needs the per-sample valid sizes to re-zero the
+            # canvas padding (make_eval_step(..., image_stats=...)).
+            out = eval_step(
+                state, batch, np.asarray(aux.image_sizes, np.int32)
+            )
+        else:
+            out = eval_step(state, batch)
         # ONE device→host fetch per batch (each fetch costs ~29 ms through
         # the tunnel): pull loss + predictions + labels together.
         loss_v, loss_c_v, loss_aux_v, pred, gt = jax.device_get(

@@ -124,19 +124,56 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model: ViBERTgridNet):
+def make_eval_step(model: ViBERTgridNet, image_stats=None):
+    """Jitted eval step.
+
+    ``image_stats=(mean, std)`` selects the uint8 wire format: the collator
+    emits raw-resized uint8 images (``Collator(..., emit_uint8=True)``, 4×
+    fewer H2D bytes — the same wire ``serve/engine.py`` uses) and the step
+    normalizes in-graph, re-zeroing the canvas padding from the per-sample
+    valid ``sizes`` [B, 2] so the model sees exactly the fp32 path's padded
+    layout (reference GeneralizedRCNNTransform semantics: pad AFTER
+    normalize, padding stays 0.0). Quantization bound on the model-visible
+    image is ≤ 0.5/255/std (tests/test_eval_uint8.py pins fp32 parity).
+    """
+    if image_stats is None:
+
+        @jax.jit
+        def eval_step(state: TrainState, batch: Batch):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch,
+                train=False,
+                compute_loss=True,
+                key=jax.random.PRNGKey(0),
+            )
+            return out
+
+        return eval_step
+
+    import dataclasses as _dc
+
+    mean = jnp.asarray(image_stats[0], jnp.float32)
+    std = jnp.asarray(image_stats[1], jnp.float32)
+
     @jax.jit
-    def eval_step(state: TrainState, batch: Batch):
+    def eval_step_u8(state: TrainState, batch: Batch, sizes: jax.Array):
+        images = (batch.images.astype(jnp.float32) / 255.0 - mean) / std
+        h, w = images.shape[1], images.shape[2]
+        valid = (
+            jnp.arange(h)[None, :, None] < sizes[:, 0, None, None]
+        ) & (jnp.arange(w)[None, None, :] < sizes[:, 1, None, None])
+        images = jnp.where(valid[..., None], images, 0.0)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
+            _dc.replace(batch, images=images),
             train=False,
             compute_loss=True,
             key=jax.random.PRNGKey(0),
         )
         return out
 
-    return eval_step
+    return eval_step_u8
 
 
 def make_inference_step(model: ViBERTgridNet):
