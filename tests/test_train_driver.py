@@ -109,6 +109,26 @@ def test_train_driver_crf_bio_smoke(tmp_path):
     assert results["loss"] is None or np.isfinite(results["loss"])
 
 
+def test_train_driver_uint8_eval_smoke(tmp_path):
+    """``eval_uint8_upload: true`` routes the driver's validation through
+    the serving uint8 wire (Collator(emit_uint8=True) +
+    make_eval_step(image_stats=...)); metrics parity vs fp32 is pinned by
+    test_data_eval.py::test_uint8_eval_wire_matches_fp32 — this smoke pins
+    the driver wiring end-to-end."""
+    root = str(tmp_path / "data")
+    make_synthetic_root(root, n_train=4, n_test=2, seed=5)
+    hyp = tiny_hyp(root)
+    hyp.update(
+        save_top=str(tmp_path / "w"),
+        save_log=str(tmp_path / "l"),
+        eval_uint8_upload=True,
+        end_epoch=1,
+    )
+    results = train(hyp, "sroie", spec=synthetic_spec(), max_steps=2)
+    assert np.isfinite(results["primary_F1"])
+    assert results["loss"] is None or np.isfinite(results["loss"])
+
+
 def test_train_driver_full_head_smoke(tmp_path):
     """The paper's two-stage 'full' classifier + full seg head end-to-end."""
     root = str(tmp_path / "data")

@@ -211,8 +211,10 @@ class Collator:
         # host→device bytes, which dominates remote/serving links (each
         # fp32 512×384 image is 2.4 MB; the tunnel moves ~77 MB/s). The
         # ≤0.5/255 quantization step matches what any production pipeline
-        # holding images at rest as uint8 already has. Training/eval keep
-        # the exact fp32 path.
+        # holding images at rest as uint8 already has. Training keeps the
+        # exact fp32 path; evaluation can opt in via ``eval_uint8_upload``
+        # (driver + eval CLI), pairing this collator with
+        # ``make_eval_step(model, image_stats=...)``.
         self.emit_uint8 = emit_uint8
 
     def signature(self, sample: Sample) -> tuple[int, int, int, int]:

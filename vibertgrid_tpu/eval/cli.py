@@ -69,7 +69,19 @@ def evaluate(hyp: dict, dataset: str, spec=None, state=None) -> dict:
             ckpt = CheckpointManager(os.path.dirname(weights) or ".")
             state, _ = ckpt.restore(weights, state)
 
-    eval_step = make_eval_step(model)
+    # eval_uint8_upload: the serving engine's uint8 wire for evaluation —
+    # 4× fewer H2D bytes, ≤0.5/255 in-graph quantization (measured 5.71×
+    # end-to-end on a bandwidth-bound link, tools/eval_bench.py). Off by
+    # default: exact fp32 numerics for published metrics.
+    if hyp.get("eval_uint8_upload", False):
+        from vibertgrid_tpu.data.dataset import Collator
+
+        collator = Collator(transform, emit_uint8=True)
+        eval_step = make_eval_step(
+            model, image_stats=(transform.image_mean, transform.image_std)
+        )
+    else:
+        eval_step = make_eval_step(model)
     # Default bs-1 mirrors the reference eval scripts exactly; any larger
     # eval_batch_size switches to the bucketed batched loader.
     ebs = hyp.get("eval_batch_size", 1)

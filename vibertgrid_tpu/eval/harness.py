@@ -123,7 +123,8 @@ def validate(
     per_sample = {}
 
     for batch, aux in loader:
-        if batch.images.dtype == np.uint8:
+        images = getattr(batch, "images", None)  # tests stub the batch
+        if images is not None and images.dtype == np.uint8:
             # uint8 wire format (4× fewer H2D bytes): the step normalizes
             # in-graph and needs the per-sample valid sizes to re-zero the
             # canvas padding (make_eval_step(..., image_stats=...)).

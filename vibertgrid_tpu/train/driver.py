@@ -310,7 +310,19 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
         print(f"==> resumed from {hyp['weights']} at epoch {start_epoch}")
 
     train_step = make_train_step(model, optimizer, opt_state_shardings=opt_shardings)
-    eval_step = make_eval_step(model)
+    # eval_uint8_upload: validation uses the serving engine's uint8 wire
+    # (4× fewer H2D bytes; ≤0.5/255 in-graph quantization, measured 5.71×
+    # end-to-end on a bandwidth-bound link — tools/eval_bench.py). Off by
+    # default: exact-fp32 validation numerics feed best-F1 checkpointing.
+    if hyp.get("eval_uint8_upload", False):
+        eval_collator = Collator(transform, emit_uint8=True)
+        eval_step = make_eval_step(
+            model,
+            image_stats=(transform.image_mean, transform.image_std),
+        )
+    else:
+        eval_collator = collator
+        eval_step = make_eval_step(model)
     logger = MetricsLogger(save_log, comment)
 
     def run_validate():
@@ -342,7 +354,7 @@ def train(hyp: dict, dataset: str, spec=None, max_steps: int | None = None) -> d
             (shard_batch(b, eval_mesh), aux)
             for b, aux in bucketed_eval_loader(
                 test_ds,
-                collator,
+                eval_collator,
                 batch_size=hyp.get("eval_batch_size", 8),
                 shard=proc_shard,
                 num_workers=hyp.get("num_workers", 0),
