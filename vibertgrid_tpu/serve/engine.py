@@ -297,9 +297,15 @@ class InferenceEngine:
         overlap micro-batch k's device compute and D2H fetch (double
         buffering; ``depth`` bounds in-flight batches so host memory and
         device queue stay bounded). The reference's serving loop is fully
-        serial per document (deployment/inference_SROIE.py:160-181); on an
-        upload-bound link this overlap is worth more than any wire
-        compression because the device works while bytes move."""
+        serial per document (deployment/inference_SROIE.py:160-181).
+
+        Regime note (measured 2026-08-21, logs/requalify/r5_serve_bench.log):
+        overlap pays when host collate + device compute are comparable to
+        the transfer legs — the local-TPU-host (PCIe) regime. When a single
+        serial link IS the bottleneck (the sandbox tunnel: 16.4 docs/s here
+        vs 17.9 for plain predict_many), overlap cannot create bandwidth
+        and the queueing overhead shows; use the uint8 wire (4x fewer
+        bytes) to attack the link itself."""
         from collections import deque
 
         out: list[dict] = []
