@@ -295,6 +295,16 @@ def test_eval_cli_evaluate_smoke(tmp_path):
     import os as _os
     assert _os.path.exists(_os.path.join(hyp["result_dir"], "smoke.json"))
 
+    # same checkpoint over the uint8 wire + batched loader: the CLI's
+    # eval_uint8_upload path must land within the quantization tolerance
+    # of the fp32 bs-1 protocol (parity mechanics pinned in
+    # test_data_eval.py::test_uint8_eval_wire_matches_fp32)
+    hyp_u8 = dict(hyp, eval_uint8_upload=True, eval_batch_size=2)
+    results_u8 = evaluate(hyp_u8, "sroie", spec=synthetic_spec())
+    assert results_u8["primary_F1"] == pytest.approx(
+        results["primary_F1"], abs=0.05
+    )
+
 
 def test_full_head_standalone_learnability():
     """The two-stage head trained standalone on separable features:
